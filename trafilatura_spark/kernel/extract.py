@@ -1,0 +1,310 @@
+"""Extraction cascade facade.
+
+Mirrors /root/reference/trafilatura/core.py:137-287 (forum detection,
+trafilatura_sequence) and :290-491 (bare_extraction gates), plus the
+comparator decision logic of external.py:48-121 — re-expressed over the
+lightweight DOM, with a per-document `tier` label for pipeline metrics
+(the Spark jobs aggregate tiers per partition).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from .baseline import baseline, basic_cleaning, html2txt
+from .cleaning import convert_tags, prune_unwanted_nodes, tree_cleaning
+from .dom import Element, delete_element, strip_tags
+from .handlers import _elem_text, extract_comments, extract_content
+from .justext import try_justext
+from .loader import load_html
+from .readability import try_readability
+from .selectors import remove_comments_matches
+from .serialize import xmltotxt
+from .settings import (
+    ESCALATION_ACCEPT_RATIO,
+    ESCALATION_JUSTEXT_RATIO,
+    ESCALATION_MAX_LENGTH,
+    ESCALATION_PAGE_SHARE,
+    JUSTEXT_OVERRIDE_RATIO,
+    DEFAULT_OPTIONS,
+    Options,
+)
+from .textutils import normalize_unicode, trim
+
+_DISCUSSION_FORUM_POSTING_RE = re.compile(
+    r'"@type"\s*:\s*"DiscussionForumPosting"|"@type"\s*:\s*\[[^\]]*"DiscussionForumPosting"'
+)
+
+# tags marking an unclean fallback result (external.py:28)
+_SANITIZED_TAGS = frozenset(
+    "aside audio button fencedframe fieldset figure footer iframe input label link nav "
+    "noindex noscript object option select source svg time".split()
+)
+
+TEI_VALID_TAGS = frozenset(
+    "ab body cell code del div graphic head hi item lb list p quote ref row table".split()
+)
+
+
+@dataclass
+class ExtractionResult:
+    text: Optional[str]
+    tier: str
+    chars_kept: int
+    len_comments: int
+
+
+def _forum_thread_page(tree: Element) -> bool:
+    "schema.org DiscussionForumPosting detection (core.py:142-154)."
+    for script in tree.iterdescendants("script"):
+        if (
+            script.get("type") == "application/ld+json"
+            and script.text
+            and _DISCUSSION_FORUM_POSTING_RE.search(script.text)
+        ):
+            return True
+    return False
+
+
+def _prepare_tree(tree: Element, options: Options, url: Optional[str]) -> tuple:
+    cleaned = tree_cleaning(tree.copy_tree(), options)
+    backup = cleaned.copy_tree()
+    cleaned = convert_tags(cleaned, options, url)
+    return cleaned, backup
+
+
+def _sanitize_fallback_tree(tree: Element, options: Options) -> tuple:
+    "Convert a readability output tree to the internal vocabulary (external.py:176-208)."
+    cleaned_tree = tree_cleaning(tree, options)
+    if not options.links:
+        strip_tags(cleaned_tree, "a")
+    strip_tags(cleaned_tree, "span")
+    cleaned_tree = convert_tags(cleaned_tree, options, options.url)
+    seen_group_elems: set = set()
+    for tr in cleaned_tree.iter("tr"):
+        parent = tr.getparent()
+        if parent not in seen_group_elems and any(c.tag == "th" for c in tr):
+            seen_group_elems.add(parent)
+            for c in tr:
+                if c.tag == "th":
+                    c.set("role", "head")
+    for elem in cleaned_tree.iter("td", "th", "tr"):
+        if elem.tag == "tr":
+            elem.tag = "row"
+        else:
+            elem.tag = "cell"
+    sanitization_list = sorted(
+        {el.tag for el in cleaned_tree.iter()} - TEI_VALID_TAGS
+    )
+    strip_tags(cleaned_tree, *sanitization_list)
+    text = trim(" ".join(cleaned_tree.itertext()))
+    return cleaned_tree, text, len(text)
+
+
+def _justext_rescue(tree: Element, options: Options) -> tuple:
+    "jusText as second fallback (external.py:166-173)."
+    tree = basic_cleaning(tree)
+    temppost_algo = try_justext(tree, options.url, options.lang)
+    temp_text = trim(" ".join(temppost_algo.itertext()))
+    return temppost_algo, temp_text, len(temp_text)
+
+
+def _prefer_readability(
+    body: Element, algo_body: Element, algo_text: str, len_text: int, len_algo: int, options: Options
+) -> bool:
+    "Decision heuristics (external.py:48-77)."
+    if len_algo in (0, len_text):
+        return False
+    if len_text > 2 * len_algo:
+        return False
+    has_p_text = any("".join(p.itertext()) for p in body.iterdescendants("p"))
+    return (
+        len_text == 0
+        or (len_algo > 2 * len_text and not algo_text.startswith("{"))
+        or (
+            len_algo > options.min_extracted_size * 2
+            and (not has_p_text or len(body.findall(".//table")) > len(body.findall(".//p")))
+        )
+        or (options.focus == "recall" and len_algo > 1.5 * len_text and not algo_text.startswith("{"))
+        or (
+            options.focus == "recall"
+            and not body.findall(".//head")
+            and any(algo_body.iterdescendants("h2", "h3", "h4"))
+            and len_algo > len_text
+        )
+    )
+
+
+def _compare_extraction(
+    cleaned_tree: Element,
+    raw_tree: Element,
+    body: Element,
+    text: str,
+    len_text: int,
+    options: Options,
+    tier: list,
+) -> tuple:
+    "Choose own vs readability vs justext (external.py:80-121)."
+    if options.focus == "recall" and len_text > options.min_extracted_size * 10:
+        return body, text, len_text
+
+    jt_result = False
+    if options.focus == "precision":
+        from .selectors import overall_discard_matches
+
+        raw_tree = prune_unwanted_nodes(raw_tree, overall_discard_matches(raw_tree))
+
+    temppost_algo = try_readability(raw_tree)
+    algo_text = trim(temppost_algo.text_content())
+    len_algo = len(algo_text)
+
+    use_readability = _prefer_readability(body, temppost_algo, algo_text, len_text, len_algo, options)
+    if use_readability:
+        body, text, len_text = temppost_algo, algo_text, len_algo
+        tier[0] = "readability"
+
+    if any(el.tag in _SANITIZED_TAGS for el in body.iterdescendants()) or len_text < options.min_extracted_size:
+        body2, text2, len_text2 = _justext_rescue(cleaned_tree, options)
+        if text2 and len_text <= JUSTEXT_OVERRIDE_RATIO * len_text2:
+            body, text, len_text = body2, text2, len_text2
+            jt_result = True
+            tier[0] = "justext"
+
+    if use_readability and not jt_result:
+        body, text, len_text = _sanitize_fallback_tree(body, options)
+
+    return body, text, len_text
+
+
+def _recall_retry(esc_tree: Element, r_options: Options, url: Optional[str], tier: list) -> tuple:
+    "Stage-4 retry in recall mode (core.py:165-176)."
+    cleaned_tree, cleaned_tree_backup = _prepare_tree(esc_tree, r_options, url)
+    postbody, temp_text, len_text = extract_content(cleaned_tree, r_options)
+    if not r_options.fast:
+        subtier = [tier[0]]
+        postbody, temp_text, len_text = _compare_extraction(
+            cleaned_tree_backup, esc_tree.copy_tree(), postbody, temp_text, len_text, r_options, subtier
+        )
+    return postbody, temp_text, len_text
+
+
+def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = None) -> tuple:
+    """The 4-stage cascade (core.py:179-287).  Returns
+    (postbody, temp_text, len_text, commentsbody, temp_comments, len_comments, tier)."""
+    tier = ["main"]
+    is_forum = _forum_thread_page(tree)
+    if not options.comments and (options.focus == "precision" or not is_forum):
+        tree = tree.copy_tree()
+        tree = prune_unwanted_nodes(tree, [remove_comments_matches(tree)])
+    cleaned_tree, cleaned_tree_backup = _prepare_tree(tree, options, url)
+
+    commentsbody, temp_comments, len_comments = Element("body"), "", 0
+    forum_posts = None
+    if options.comments:
+        commentsbody, temp_comments, len_comments, cleaned_tree = extract_comments(cleaned_tree, options)
+        if len_comments > 0 and is_forum:
+            forum_posts = commentsbody
+            commentsbody, temp_comments, len_comments = Element("body"), "", 0
+            cleaned_tree = convert_tags(cleaned_tree_backup.copy_tree(), options, url)
+    if options.focus == "precision" and not is_forum:
+        cleaned_tree = prune_unwanted_nodes(cleaned_tree, [remove_comments_matches(cleaned_tree)])
+
+    # 1. main extractor
+    postbody, temp_text, len_text = extract_content(cleaned_tree, options)
+
+    # 2. external comparison
+    if not options.fast:
+        postbody, temp_text, len_text = _compare_extraction(
+            cleaned_tree_backup, tree.copy_tree(), postbody, temp_text, len_text, options, tier
+        )
+
+    # 3. baseline rescue
+    if len_text < options.min_extracted_size and options.focus != "precision":
+        postbody, temp_text, len_text = baseline(tree)
+        tier[0] = "baseline"
+        forum_posts = None
+
+    # 4. recall escalation
+    if (
+        options.focus == "balanced"
+        and 0 < len_text < ESCALATION_MAX_LENGTH
+        and len_text < ESCALATION_PAGE_SHARE * len(html2txt(tree))
+    ):
+        r_options = options.copy(focus="recall")
+        if is_forum:
+            esc_tree = tree
+        else:
+            esc_tree = tree.copy_tree()
+            esc_tree = prune_unwanted_nodes(esc_tree, [remove_comments_matches(esc_tree)])
+        r_len = 0
+        r_body, r_text = None, ""
+        try:
+            r_body, r_text, r_len = _recall_retry(esc_tree, r_options, url, tier)
+        except Exception:
+            pass
+        j_len = 0
+        j_body, j_text = None, ""
+        if not options.fast:
+            try:
+                j_body, j_text, j_len = _justext_rescue(esc_tree.copy_tree(), options)
+            except Exception:
+                pass
+
+        if j_len > r_len and j_len > ESCALATION_JUSTEXT_RATIO * len_text:
+            postbody, temp_text, len_text, forum_posts = j_body, j_text, j_len, None
+            tier[0] = "escalation_justext"
+        elif r_len >= options.min_extracted_size and r_len > ESCALATION_ACCEPT_RATIO * len_text:
+            postbody, temp_text, len_text, forum_posts = r_body, r_text, r_len, None
+            tier[0] = "escalation_recall"
+
+    if forum_posts is not None:
+        existing = "\n".join(filter(None, (_elem_text(el) for el in postbody)))
+        salvaged = [el for el in forum_posts if (t := _elem_text(el)) and t not in existing]
+        if salvaged:
+            postbody.extend(salvaged)
+            temp_text = " ".join(postbody.itertext()).strip()
+            len_text = len(temp_text)
+
+    return postbody, temp_text, len_text, commentsbody, temp_comments, len_comments, tier[0]
+
+
+def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> ExtractionResult:
+    "Per-document extraction with gates (core.py:290-491), returning text + tier."
+    try:
+        tree = load_html(filecontent)
+        if tree is None:
+            return ExtractionResult(None, "unparseable", 0, 0)
+
+        (
+            postbody,
+            temp_text,
+            len_text,
+            commentsbody,
+            temp_comments,
+            len_comments,
+            tier,
+        ) = trafilatura_sequence(tree, options, options.url)
+
+        if options.max_tree_size:
+            if len(postbody) > options.max_tree_size:
+                strip_tags(postbody, "hi")
+            if len(postbody) > options.max_tree_size:
+                return ExtractionResult(None, "discarded_size", 0, 0)
+        if len_text < options.min_output_size and len_comments < options.min_output_comm_size:
+            return ExtractionResult(None, "discarded", 0, 0)
+    except (TypeError, ValueError):
+        return ExtractionResult(None, "error", 0, 0)
+
+    text = xmltotxt(postbody, options.formatting)
+    if options.comments and commentsbody is not None:
+        text = f"{text}\n{xmltotxt(commentsbody, options.formatting)}".strip()
+    text = normalize_unicode(text)
+    return ExtractionResult(text, tier, len(text), len_comments)
+
+
+def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[str]:
+    "Reference `extract()`-equivalent returning the txt string or None (core.py:494-588)."
+    result = bare_extract(filecontent, options)
+    return result.text

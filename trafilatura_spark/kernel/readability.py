@@ -1,0 +1,297 @@
+"""Readability-style fallback scorer (arc90 family).
+
+Reimplements the scoring/candidate/sanitize loop the reference vendors in
+/root/reference/trafilatura/readability_lxml.py:99-404 over the
+lightweight DOM: score p/pre/td by comma count + text length, propagate
+to parent/grandparent with class/id +-25 weights and tag priors, scale by
+link density, pick the best candidate, gather qualifying siblings, then
+sanitize with the counts heuristics.  Runs ruthless first and retries
+leniently when the result is shorter than ``retry_length``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .dom import Element, delete_element
+from .textutils import trim
+
+DOT_SPACE = re.compile(r"\.( |$)")
+
+DIV_SCORES = {"div", "article"}
+BLOCK_SCORES = {"pre", "td", "blockquote"}
+BAD_ELEM_SCORES = {"address", "ol", "ul", "dl", "dd", "dt", "li", "form", "aside"}
+STRUCTURE_SCORES = {"h1", "h2", "h3", "h4", "h5", "h6", "th", "header", "footer", "nav"}
+TEXT_CLEAN_ELEMS = ("p", "img", "li", "a", "embed", "input")
+DIV_TO_P_ELEMS = {"a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"}
+FRAME_TAGS = {"body", "html"}
+LIST_TAGS = {"ol", "ul"}
+
+UNLIKELY_RE = re.compile(
+    r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|shoutbox|sidebar"
+    r"|sponsor|ad-break|agegate|pagination|pager|popup|tweet|twitter",
+    re.I,
+)
+MAYBE_RE = re.compile(r"and|article|body|column|main|shadow", re.I)
+POSITIVE_RE = re.compile(
+    r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story", re.I
+)
+NEGATIVE_RE = re.compile(
+    r"button|combx|comment|com-|contact|figure|foot|footer|footnote|form|input|masthead"
+    r"|media|meta|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|tool|widget",
+    re.I,
+)
+VIDEO_RE = re.compile(r"https?:\/\/(?:www\.)?(?:youtube|vimeo)\.com", re.I)
+
+
+def _text_length(elem: Element) -> int:
+    return len(trim(elem.text_content()))
+
+
+class _Candidate:
+    __slots__ = ("score", "elem")
+
+    def __init__(self, score: float, elem: Element):
+        self.score = score
+        self.elem = elem
+
+
+class ReadabilityExtractor:
+    "One-shot extractor over a (mutable) tree; returns a <div> body Element."
+
+    def __init__(self, doc: Element, min_text_length: int = 25, retry_length: int = 250):
+        self.doc = doc
+        self.min_text_length = min_text_length
+        self.retry_length = retry_length
+
+    def summary(self) -> Element:
+        for elem in list(self.doc.iter("script", "style", "fencedframe")):
+            delete_element(elem)
+
+        ruthless = True
+        while True:
+            if ruthless:
+                self._remove_unlikely_candidates()
+            self._transform_misused_divs()
+            candidates = self._score_paragraphs()
+
+            best = self._select_best_candidate(candidates)
+            if best:
+                article = self._get_article(candidates, best)
+            else:
+                if ruthless:
+                    ruthless = False
+                    continue
+                body = self.doc.find(".//body")
+                article = body if body is not None else self.doc
+
+            cleaned = self._sanitize(article, candidates)
+            article_length = _text_length(cleaned)
+            if ruthless and article_length < self.retry_length:
+                ruthless = False
+                continue
+            return cleaned
+
+    def _get_article(self, candidates: dict, best: _Candidate) -> Element:
+        sibling_score_threshold = max(10, best.score * 0.2)
+        output = Element("div")
+        parent = best.elem.getparent()
+        siblings = list(parent) if parent is not None else [best.elem]
+        for sibling in siblings:
+            append = False
+            if sibling is best.elem or (
+                sibling in candidates and candidates[sibling].score >= sibling_score_threshold
+            ):
+                append = True
+            elif sibling.tag == "p":
+                link_density = self._link_density(sibling)
+                node_content = sibling.text or ""
+                node_length = len(node_content)
+                if (
+                    node_length > 80
+                    and link_density < 0.25
+                    or (node_length <= 80 and link_density == 0 and DOT_SPACE.search(node_content))
+                ):
+                    append = True
+            if append:
+                output.append(sibling)
+        return output
+
+    def _select_best_candidate(self, candidates: dict) -> Optional[_Candidate]:
+        if not candidates:
+            return None
+        return max(candidates.values(), key=lambda c: c.score)
+
+    def _link_density(self, elem: Element) -> float:
+        total = _text_length(elem) or 1
+        link_length = sum(_text_length(link) for link in elem.findall(".//a"))
+        return link_length / total
+
+    def _score_paragraphs(self) -> dict:
+        candidates: dict = {}
+        for elem in list(self.doc.iter("p", "pre", "td")):
+            parent_node = elem.getparent()
+            if parent_node is None:
+                continue
+            grand_parent_node = parent_node.getparent()
+
+            elem_text = trim(elem.text_content())
+            elem_text_len = len(elem_text)
+            if elem_text_len < self.min_text_length:
+                continue
+
+            for node in (parent_node, grand_parent_node):
+                if node is not None and node not in candidates:
+                    candidates[node] = self._score_node(node)
+
+            score = 1 + len(elem_text.split(",")) + min(elem_text_len / 100, 3)
+            candidates[parent_node].score += score
+            if grand_parent_node is not None:
+                candidates[grand_parent_node].score += score / 2
+
+        for elem, candidate in candidates.items():
+            candidate.score *= 1 - self._link_density(elem)
+        return candidates
+
+    def _class_weight(self, elem: Element) -> float:
+        weight = 0
+        for attribute in filter(None, (elem.get("class"), elem.get("id"))):
+            if NEGATIVE_RE.search(attribute):
+                weight -= 25
+            if POSITIVE_RE.search(attribute):
+                weight += 25
+        return weight
+
+    def _score_node(self, elem: Element) -> _Candidate:
+        score = self._class_weight(elem)
+        name = elem.tag.lower()
+        if name in DIV_SCORES:
+            score += 5
+        elif name in BLOCK_SCORES:
+            score += 3
+        elif name in BAD_ELEM_SCORES:
+            score -= 3
+        elif name in STRUCTURE_SCORES:
+            score -= 5
+        return _Candidate(score, elem)
+
+    def _remove_unlikely_candidates(self) -> None:
+        for elem in list(self.doc.iterdescendants()):
+            if elem.getparent() is None:
+                continue
+            attrs = " ".join(filter(None, (elem.get("class"), elem.get("id"))))
+            if len(attrs) < 2:
+                continue
+            if elem.tag not in FRAME_TAGS and UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
+                delete_element(elem)
+
+    def _transform_misused_divs(self) -> None:
+        for elem in list(self.doc.iterdescendants("div")):
+            if not any(d.tag in DIV_TO_P_ELEMS for d in elem.iterdescendants()):
+                elem.tag = "p"
+
+        for elem in list(self.doc.iterdescendants("div")):
+            if elem.text and elem.text.strip():
+                p_elem = Element("p")
+                p_elem.text, elem.text = elem.text, None
+                elem.insert(0, p_elem)
+
+            for pos in range(len(elem) - 1, -1, -1):
+                child = elem[pos]
+                if child.tail and child.tail.strip():
+                    p_elem = Element("p")
+                    p_elem.text, child.tail = child.tail, None
+                    elem.insert(pos + 1, p_elem)
+                if child.tag == "br":
+                    delete_element(child)
+
+    def _sanitize(self, node: Element, candidates: dict) -> Element:
+        for header in list(node.iter("h1", "h2", "h3", "h4", "h5", "h6")):
+            if self._class_weight(header) < 0 or self._link_density(header) > 0.33:
+                delete_element(header)
+
+        for elem in list(node.iter("form", "textarea")):
+            delete_element(elem)
+
+        for elem in list(node.iter("iframe")):
+            if "src" in elem.attrib and VIDEO_RE.search(elem.attrib["src"]):
+                elem.text = "VIDEO"
+            else:
+                delete_element(elem)
+
+        allowed: set = set()
+        targets = [
+            el for el in node.iter() if el.tag in ("table", "ul", "div", "aside", "header", "footer", "section")
+        ]
+        for elem in reversed(targets):
+            if elem in allowed or elem.getparent() is None and elem is not node:
+                continue
+            weight = self._class_weight(elem)
+            score = candidates[elem].score if elem in candidates else 0
+            if weight + score < 0:
+                delete_element(elem)
+            elif elem.text_content().count(",") < 10:
+                to_remove = True
+                reason = ""
+                counts = {kind: len(elem.findall(f".//{kind}")) for kind in TEXT_CLEAN_ELEMS}
+                counts["li"] -= 100
+                counts["input"] -= sum(
+                    1 for i in elem.iterdescendants("input") if i.get("type") == "hidden"
+                )
+
+                content_length = _text_length(elem)
+                link_density = self._link_density(elem)
+                parent_node = elem.getparent()
+                if parent_node is not None:
+                    score = candidates[parent_node].score if parent_node in candidates else 0
+                if counts["p"] and counts["img"] > 1 + counts["p"] * 1.3:
+                    reason = "too many images"
+                elif counts["li"] > counts["p"] and elem.tag not in LIST_TAGS:
+                    reason = "more li than p"
+                elif counts["input"] > (counts["p"] / 3):
+                    reason = "too many inputs"
+                elif content_length < self.min_text_length and counts["img"] == 0:
+                    reason = "too short, no image"
+                elif content_length < self.min_text_length and counts["img"] > 2:
+                    reason = "too short, many images"
+                elif weight < 25 and link_density > 0.2:
+                    reason = "link-dense for weight"
+                elif weight >= 25 and link_density > 0.5:
+                    reason = "link-dense for high weight"
+                elif (counts["embed"] == 1 and content_length < 75) or counts["embed"] > 1:
+                    reason = "embeds"
+                elif not content_length:
+                    reason = "no content"
+                    siblings = []
+                    for sib in elem.itersiblings():
+                        sib_len = _text_length(sib)
+                        if sib_len:
+                            siblings.append(sib_len)
+                            break
+                    limit = len(siblings) + 1
+                    for sib in elem.itersiblings(preceding=True):
+                        sib_len = _text_length(sib)
+                        if sib_len:
+                            siblings.append(sib_len)
+                            if len(siblings) >= limit:
+                                break
+                    if siblings and sum(siblings) > 1000:
+                        to_remove = False
+                        allowed.update(elem.iter("table", "ul", "div", "section"))
+                else:
+                    to_remove = False
+
+                if to_remove:
+                    delete_element(elem)
+
+        self.doc = node
+        return node
+
+
+def try_readability(htmlinput: Element) -> Element:
+    "Safety-net wrapper (reference external.py:35-45)."
+    try:
+        return ReadabilityExtractor(htmlinput, min_text_length=25, retry_length=250).summary()
+    except Exception:
+        return Element("div")

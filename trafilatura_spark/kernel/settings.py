@@ -1,0 +1,83 @@
+"""Extraction options and constants.
+
+Defaults mirror the reference configuration
+(/root/reference/trafilatura/settings.cfg and settings.py:70-191,
+341-488); the graft's equality contract is the reference `extract()`
+default: txt output, comments on, balanced focus, tables on,
+links/images/formatting off (core.py:494-520).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+@dataclass
+class Options:
+    "Per-job extraction configuration (one fixed instance per Spark job)."
+    format: str = "txt"
+    fast: bool = False
+    focus: str = "balanced"  # balanced | precision | recall
+    comments: bool = True
+    formatting: bool = False
+    links: bool = False
+    images: bool = False
+    tables: bool = True
+    dedup: bool = False
+    lang: Optional[str] = None
+    url: Optional[str] = None
+    # sizes (settings.cfg:26-33)
+    min_extracted_size: int = 250
+    min_output_size: int = 1
+    min_output_comm_size: int = 1
+    min_extracted_comm_size: int = 1
+    min_duplcheck_size: int = 100
+    max_repetitions: int = 2
+    max_file_size: int = 20_000_000
+    min_file_size: int = 10
+    max_tree_size: Optional[int] = None
+
+    def copy(self, **kw) -> "Options":
+        return replace(self, **kw)
+
+
+DEFAULT_OPTIONS = Options()
+
+# tag vocabulary after conversion (settings.py:474)
+TAG_CATALOG = frozenset(["blockquote", "code", "del", "head", "hi", "lb", "list", "p", "pre", "quote"])
+
+CUT_EMPTY_ELEMS = frozenset(
+    "article b blockquote dd div dt em h1 h2 h3 h4 h5 h6 i li main p pre q section span strong".split()
+)
+
+# deletion/stripping lists (settings.py:370-452); order preserved
+MANUALLY_CLEANED = [
+    "aside", "embed", "fencedframe", "footer", "form", "head", "iframe", "menu", "object", "script",
+    "applet", "audio", "canvas", "figure", "map", "picture", "svg", "video",
+    "area", "blink", "button", "datalist", "dialog", "frame", "frameset", "fieldset", "link", "input",
+    "ins", "label", "legend", "marquee", "math", "menuitem", "nav", "noindex", "noscript", "optgroup",
+    "option", "output", "param", "progress", "rp", "rt", "rtc", "select", "source", "style", "track",
+    "textarea", "time", "use",
+]
+
+MANUALLY_STRIPPED = [
+    "abbr", "acronym", "address", "bdi", "bdo", "big", "cite", "data", "dfn", "font", "hgroup",
+    "img", "ins", "mark", "meta", "nobr", "ruby", "small", "tbody", "template", "tfoot", "thead",
+]
+
+MIN_DUPLICATE_LENGTH = 50
+DEDUPE_SCAN_CAP = 200_000
+
+# inline-tag ladder (settings.py:486-488)
+INLINE_CONSUMING = {"hi", "ref", "del"}
+INLINE_FORMATTABLE = INLINE_CONSUMING | {"code"}
+INLINE_CARRIED = INLINE_FORMATTABLE | {"graphic"}
+
+# recall escalation constants (core.py:42-51)
+ESCALATION_MAX_LENGTH = 3000
+ESCALATION_PAGE_SHARE = 0.2
+ESCALATION_ACCEPT_RATIO = 1.5
+ESCALATION_JUSTEXT_RATIO = 2.0
+
+JUSTEXT_OVERRIDE_RATIO = 3  # external.py:32
