@@ -1,0 +1,173 @@
+"""Distributed per-turn extraction: the Spark face of the kernel.
+
+Design (SURVEY.md §7 P1, BASELINE.json north_rule):
+- input: transcripts DataFrame (conv_id, turn_idx, role, text, tool, ts)
+- Catalyst-side gates BEFORE the UDF: null filter + file-size gate
+  (reference utils.py:405-413) expressed as `length(text)` predicates so
+  they are pushed into the scan / evaluated in whole-stage codegen.
+- conv_id-salted repartition: `hash(conv_id, pmod(turn_idx, salt))` so a
+  single million-turn conversation spreads over many partitions (AQE
+  balances bytes, not lxml-CPU; salting balances work).
+- mapInPandas over Arrow batches: Spark sees only columnar Arrow; the
+  per-document DOM work happens inside the batch loop (no per-row Python
+  crossing the JVM boundary).
+- per-document wall-clock guard replacing the reference CLI's 30 s/file
+  timeout (cli_utils.py / settings.cfg:37): overruns yield tier='timeout'.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel import DEFAULT_OPTIONS, Options, bare_extract
+
+# fixed wrapping convention (FIXTURES.md): load_html rejects bare
+# single-block fragments, so turns are wrapped identically everywhere
+WRAP_PREFIX = "<html><body>"
+WRAP_SUFFIX = "</body></html>"
+
+EXTRACT_RESULT_FIELDS = [
+    StructField("extracted_text", StringType(), True),
+    StructField("tier", StringType(), False),
+    StructField("chars_kept", IntegerType(), False),
+]
+
+DEFAULT_TIMEOUT_SECS = 30.0
+
+
+def wrap_turn(text: str) -> str:
+    return f"{WRAP_PREFIX}{text}{WRAP_SUFFIX}"
+
+
+def extract_one(text: Optional[str], options: Options, timeout: float = DEFAULT_TIMEOUT_SECS):
+    "Extract a single turn; returns (extracted_text|None, tier, chars_kept)."
+    if text is None:
+        return None, "null_input", 0
+    # size gate: the reference CLI's is_acceptable_length (utils.py:405-413,
+    # settings.cfg:7-8) discards before extraction; keep the row, null the text
+    wrapped_len = len(text) + len(WRAP_PREFIX) + len(WRAP_SUFFIX)
+    if wrapped_len < options.min_file_size or wrapped_len > options.max_file_size:
+        return None, "discarded_size", 0
+    t0 = time.monotonic()
+    try:
+        result = bare_extract(wrap_turn(text), options)
+    except Exception:
+        return None, "error", 0
+    if time.monotonic() - t0 > timeout:
+        # the document finished but took too long: flag it so the job can
+        # route pathological inputs out of the hot path on reruns
+        return result.text, "timeout", result.chars_kept
+    return result.text, result.tier, result.chars_kept
+
+
+def make_extract_batch_fn(
+    options: Options = DEFAULT_OPTIONS,
+    passthrough_cols: Optional[list] = None,
+    timeout: float = DEFAULT_TIMEOUT_SECS,
+    max_batch_chars: int = 32_000_000,
+):
+    """Build a mapInPandas function emitting passthrough columns +
+    (extracted_text, tier, chars_kept).
+
+    ``max_batch_chars`` bounds Python-side memory: an Arrow batch whose
+    summed text length exceeds it is processed in slices (the reference's
+    20 MB per-doc gate times a small factor; SURVEY.md §7 hard part 6).
+    """
+    passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+
+    def extract_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            texts = pdf["text"]
+            # adaptive slicing by accumulated length keeps peak RSS bounded
+            start = 0
+            n = len(pdf)
+            while start < n:
+                acc = 0
+                end = start
+                while end < n and acc <= max_batch_chars:
+                    acc += len(texts.iloc[end]) if isinstance(texts.iloc[end], str) else 0
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                extracted, tiers, kept = [], [], []
+                for text in chunk["text"]:
+                    etext, tier, chars = extract_one(text, options, timeout)
+                    extracted.append(etext)
+                    tiers.append(tier)
+                    kept.append(chars)
+                out = chunk[passthrough].copy()
+                out["extracted_text"] = extracted
+                out["tier"] = tiers
+                out["chars_kept"] = pd.array(kept, dtype="int32")
+                yield out
+                start = end
+
+    return extract_batch
+
+
+def extract_result_schema(df: DataFrame, passthrough_cols: Optional[list] = None) -> StructType:
+    passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+    fields = [df.schema[c] for c in passthrough]
+    return StructType(list(fields) + EXTRACT_RESULT_FIELDS)
+
+
+def salted_repartition(df: DataFrame, num_partitions: Optional[int] = None, salt_buckets: int = 64) -> DataFrame:
+    """Repartition on hash(conv_id, turn-bucket) so heavy conversations
+    spread across partitions (north_rule: conv_id-salted repartitioning).
+
+    Extraction is per-turn, so co-locating a conversation is unnecessary;
+    the salt prevents the opposite failure (one giant conv_id in one
+    partition when a later stage partitions by conv_id alone).
+    """
+    salt = F.pmod(F.col("turn_idx"), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("conv_id"), salt)
+    return df.repartition(F.col("conv_id"), salt)
+
+
+def extract_transcripts(
+    df: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 64,
+    passthrough_cols: Optional[list] = None,
+    timeout: float = DEFAULT_TIMEOUT_SECS,
+    keep_discarded: bool = True,
+) -> DataFrame:
+    """Full extraction operator: gates -> salted repartition -> Arrow batches.
+
+    With ``keep_discarded`` (the per-turn completeness contract) every
+    input turn yields an output row; rows the reference would discard
+    carry extracted_text=NULL plus a tier label, and the size gate runs
+    in the UDF.  With keep_discarded=False the null/size gates run as
+    Catalyst filters ahead of the UDF (whole-stage codegen, pushed into
+    the scan) — the throughput configuration for production sweeps.
+    """
+    passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+    if keep_discarded:
+        gated = df
+    else:
+        # reference min/max file-size gate, utils.py:405-413 + settings.cfg:7-8,
+        # adjusted for the wrapping markup the kernel adds
+        wrap_len = len(WRAP_PREFIX) + len(WRAP_SUFFIX)
+        gated = df.filter(
+            F.col("text").isNotNull()
+            & (F.length("text") + F.lit(wrap_len) >= DEFAULT_OPTIONS.min_file_size)
+            & (F.length("text") + F.lit(wrap_len) <= DEFAULT_OPTIONS.max_file_size)
+        )
+    needed = list(dict.fromkeys(passthrough + ["text"]))
+    pruned = gated.select(*needed)  # column pruning reaches the scan
+    salted = salted_repartition(pruned, num_partitions, salt_buckets)
+    schema = extract_result_schema(df, passthrough)
+    fn = make_extract_batch_fn(options, passthrough, timeout)
+    return salted.mapInPandas(fn, schema=schema)
