@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full extraction cascade over a deterministic
+               synthetic transcript corpus (sf0.001-scale).
+queries()    — one entry per implemented operator (SURVEY.md §2 +
+               training-pipeline operators); each (spark, sf_dir) -> DataFrame.
+oracle_sql() — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trafilatura_spark.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-turn main-content extraction over the synthetic
+    transcript corpus — salted repartition -> mapInPandas cascade ->
+    stable (conv_id, turn_idx) ordering."""
+    from trafilatura_spark.fixtures import transcripts_df
+    from trafilatura_spark.operators.extract import extract_transcripts
+
+    df = transcripts_df(spark, 60, num_slices=8)
+    return extract_transcripts(df, num_partitions=16).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

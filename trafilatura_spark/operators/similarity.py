@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side dot products via zip_with/aggregate
+  (no Python UDF), broadcast of the (small) query side, window top-k.
+- LSH-bucketed variant: sign bits of the first D dimensions form a
+  bucket id; candidates only join within buckets (the 100 TB path: the
+  bucket join replaces the full cross product).
+
+DuckDB oracle twins use list_cosine_similarity / list element signs.
+Similarities are rounded to 6 dp on BOTH sides before ranking so
+float-associativity noise cannot flip ranks between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for the first ``n_queries`` vectors (by id),
+    the k nearest other vectors.  Query side is broadcast."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    queries = vecs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = vecs.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    return f"""
+    WITH vecs AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+    queries AS (SELECT {id_col} AS query_id, v AS qv FROM vecs WHERE {id_col} < {n_queries}),
+    scored AS (
+      SELECT query_id, {id_col} AS neighbor_id,
+             ROUND(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+      FROM vecs CROSS JOIN queries
+      WHERE {id_col} <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+LSH_DIMS = 8
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    "Sign-bit LSH bucket per vector: bit d set iff embedding[d] > 0 (d < LSH_DIMS)."
+    v = F.col(vec_col)
+    bucket = None
+    for d in range(LSH_DIMS):
+        bit = F.when(F.element_at(v, d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def lsh_buckets_sql(table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    bits = " + ".join(
+        f"CASE WHEN {vec_col}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END" for d in range(LSH_DIMS)
+    )
+    return f"SELECT {id_col}, CAST({bits} AS INT) AS bucket FROM {table}"
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k inside each LSH bucket (per-vector nearest
+    bucket-mates).  The self-join keys on bucket id, so work scales with
+    bucket sizes, not n^2."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    buckets = lsh_buckets(df, id_col, vec_col)
+    b = vecs.join(buckets, id_col)
+    left = b.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+    )
+    right = b.select(F.col(id_col).alias("neighbor_id"), F.col("v"), F.col("bucket"))
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_topk_sql(
+    table: str = "embeddings", k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    bits = " + ".join(
+        f"CASE WHEN {vec_col}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END" for d in range(LSH_DIMS)
+    )
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v, ({bits}) AS bucket FROM {table}
+    ),
+    scored AS (
+      SELECT l.{id_col} AS query_id, r.{id_col} AS neighbor_id,
+             ROUND(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+      FROM b l JOIN b r USING (bucket)
+      WHERE l.{id_col} <> r.{id_col}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """

@@ -1,0 +1,361 @@
+"""Query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB correctness gate.
+
+Relational-shell queries validate the engine's Catalyst-side plumbing
+(filters, aggregations, windows, joins over the star schema); training-
+pipeline queries (dedup / similarity / textstats) validate the
+first-class 100 TB operators; extraction queries run the kernel through
+mapInPandas (rows-only oracle where no SQL twin exists).
+
+Float-bearing aggregates are rounded on both sides so value-hash
+comparison is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- relational shell ---------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "TPC-H Q1 shape: scan -> filter -> groupBy agg (map-side partials)."
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "TPC-H Q3 shape: 3-way join with selective filters, top-10 by revenue."
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "TPC-H Q5 shape: 6-way join, small dims broadcast."
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"), F.asc("r_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+ORDER BY revenue DESC, n_name ASC, r_name ASC
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Window top-k: 3 priciest orders per customer (rank over partition)."
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+Q_TOPORDERS_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Sessionization: 30-min-gap sessions per user via lag + running sum."
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("int").alias("session_id"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+Q_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Time-bucketed aggregation with distinct users per event type and day."
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "event_type", "n_events", "n_users", "total_value")
+    )
+
+
+Q_EVENTS_DAILY_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- training-pipeline operators ------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+# --- extraction ------------------------------------------------------------------
+
+def extract_documents_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable extraction: wrap each document's text in a
+    single-paragraph page and run the FULL kernel cascade through
+    mapInPandas.  For this genre the reference semantics reduce to
+    whitespace-collapsed text (trim + NFC), which the DuckDB twin states
+    directly — so the whole parse→cascade→serialize path is value-checked."""
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("text"),
+    )
+    out = extract_transcripts(docs, num_partitions=32)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+EXTRACT_DOCS_SQL = """
+SELECT doc_id, nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS extracted_text
+FROM documents
+"""
+
+
+def extract_transcript_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Flagship: full cascade over the synthetic transcript corpus (rows-only oracle)."
+    from .fixtures import transcripts_df
+    from .operators.extract import extract_transcripts
+
+    df = transcripts_df(spark, 120, num_slices=8)
+    return extract_transcripts(df, num_partitions=32).orderBy("conv_id", "turn_idx")
+
+
+def extract_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Pipeline metrics: per-tier row counts + chars kept (rows-only oracle)."
+    out = extract_transcript_turns(spark, sf_dir)
+    return (
+        out.groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum("chars_kept").alias("total_chars"))
+        .orderBy("tier")
+    )
+
+
+# --- registry --------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_events_sessions": q_events_sessions,
+    "q_events_daily": q_events_daily,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "text_token_stats": text_token_stats,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "extract_documents_html": extract_documents_html,
+    "extract_transcript_turns": extract_transcript_turns,
+    "extract_tier_metrics": extract_tier_metrics,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_supplier_volume": Q5_SQL,
+    "q_top_orders_per_customer": Q_TOPORDERS_SQL,
+    "q_events_sessions": Q_SESSIONS_SQL,
+    "q_events_daily": Q_EVENTS_DAILY_SQL,
+    "dedup_exact": D.exact_dedup_sql(),
+    "dedup_minhash": D.minhash_signatures_sql(),
+    "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
+    "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
+    "dedup_simhash": D.simhash_sql(),
+    "text_token_stats": T.token_stats_sql(),
+    "text_lang_id": T.lang_id_sql(),
+    "doc_fingerprint": T.fingerprint_sql(),
+    "ann_cosine_topk": S.cosine_topk_sql(),
+    "ann_lsh_topk": S.lsh_topk_sql(),
+    "extract_documents_html": EXTRACT_DOCS_SQL,
+    # extract_transcript_turns / extract_tier_metrics: non-SQL-expressible
+    # (full cascade); driver records rows-only checks
+}
