@@ -1,0 +1,81 @@
+"""Resumability (per-partition lineage manifest) and streaming parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def small_df(spark):
+    from trafilatura_spark.fixtures import transcripts_df
+
+    return transcripts_df(spark, 12, num_slices=2)
+
+
+def test_resume_after_simulated_crash(spark, small_df, tmp_path):
+    from trafilatura_spark.plans.lineage import (
+        completed_buckets,
+        read_manifest,
+        read_output,
+        run_resumable_extraction,
+    )
+
+    out = str(tmp_path / "run1")
+    n_buckets = 8
+    # crash after one wave of 4 buckets
+    summary1 = run_resumable_extraction(
+        spark, small_df, out, n_buckets=n_buckets, wave_size=4, fail_after_waves=1
+    )
+    assert summary1["completed"] == 4
+    assert len(completed_buckets(spark, out)) == 4
+
+    # resume: only the remaining buckets run
+    summary2 = run_resumable_extraction(spark, small_df, out, n_buckets=n_buckets, wave_size=4)
+    assert summary2["resumed_from"] == 4
+    assert summary2["completed"] == n_buckets
+
+    # output is complete and keyed per turn
+    result = read_output(spark, out)
+    assert result.count() == small_df.count()
+    assert result.select("conv_id", "turn_idx").distinct().count() == small_df.count()
+
+    # manifest carries metrics per bucket
+    manifest = read_manifest(spark, out)
+    rows = manifest.collect()
+    assert {r.part_bucket for r in rows} == set(range(n_buckets))
+    assert all(r.status == "done" for r in rows)
+    assert sum(r.n_turns for r in rows) == small_df.count()
+
+
+def test_rerun_is_idempotent(spark, small_df, tmp_path):
+    from trafilatura_spark.plans.lineage import read_output, run_resumable_extraction
+
+    out = str(tmp_path / "run2")
+    run_resumable_extraction(spark, small_df, out, n_buckets=4, wave_size=4)
+    first = {(r.conv_id, r.turn_idx): r.extracted_text for r in read_output(spark, out).collect()}
+    summary = run_resumable_extraction(spark, small_df, out, n_buckets=4, wave_size=4)
+    assert summary["waves_run"] == 0  # nothing left to do
+    second = {(r.conv_id, r.turn_idx): r.extracted_text for r in read_output(spark, out).collect()}
+    assert first == second
+
+
+def test_streaming_matches_batch(spark, small_df, tmp_path):
+    from trafilatura_spark.operators.extract import extract_transcripts
+    from trafilatura_spark.streaming.extract_stream import start_file_stream
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    small_df.write.parquet(input_dir)
+
+    q = start_file_stream(spark, input_dir, output_dir, checkpoint)
+    q.awaitTermination(120)
+
+    stream_rows = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.tier)
+        for r in spark.read.parquet(output_dir).collect()
+    }
+    batch_rows = {
+        (r.conv_id, r.turn_idx): (r.extracted_text, r.tier)
+        for r in extract_transcripts(small_df, num_partitions=4).collect()
+    }
+    assert stream_rows == batch_rows

@@ -1,0 +1,79 @@
+"""Spark layer: the distributed extraction must equal the local kernel
+per turn under stable (conv_id, turn_idx) ordering — the operational
+per-row invariant (BASELINE.json input_hint) evidenced in-sandbox.
+"""
+
+import pytest
+
+from trafilatura_spark.fixtures import generate_rows, transcripts_df
+from trafilatura_spark.kernel import DEFAULT_OPTIONS
+from trafilatura_spark.operators.extract import extract_one, extract_transcripts
+
+N_CONVS = 30
+
+
+@pytest.fixture(scope="module")
+def spark_output(spark):
+    df = transcripts_df(spark, N_CONVS, num_slices=4)
+    out = extract_transcripts(df, num_partitions=8)
+    rows = out.orderBy("conv_id", "turn_idx").collect()
+    return rows
+
+
+def local_expected():
+    expected = {}
+    for conv_id, turn_idx, role, text, tool, ts in generate_rows(N_CONVS):
+        etext, tier, chars = extract_one(text, DEFAULT_OPTIONS)
+        expected[(conv_id, turn_idx)] = (etext, tier, chars)
+    return expected
+
+
+def test_per_turn_equality(spark_output):
+    "100% per-turn text equality between distributed and local execution."
+    expected = local_expected()
+    assert len(spark_output) == len(expected)
+    mismatches = []
+    for row in spark_output:
+        key = (row.conv_id, row.turn_idx)
+        etext, tier, chars = expected[key]
+        if row.extracted_text != etext or row.tier != tier or row.chars_kept != chars:
+            mismatches.append((key, row.tier, tier))
+    assert not mismatches, f"{len(mismatches)} turns diverge: {mismatches[:5]}"
+
+
+def test_null_alignment(spark_output):
+    "Discarded turns surface as NULL text with a tier label, never dropped."
+    expected = local_expected()
+    nulls = [r for r in spark_output if r.extracted_text is None]
+    assert nulls, "corpus should contain discarded turns"
+    for r in nulls:
+        assert expected[(r.conv_id, r.turn_idx)][0] is None
+        assert r.tier in ("discarded", "discarded_size", "null_input", "unparseable", "error")
+
+
+def test_stable_ordering(spark_output):
+    keys = [(r.conv_id, r.turn_idx) for r in spark_output]
+    assert keys == sorted(keys)
+
+
+def test_tier_coverage(spark_output):
+    "Genres designed to hit each major tier actually do (FIXTURES.md §4)."
+    tiers = {r.tier for r in spark_output}
+    assert "main" in tiers
+    assert "baseline" in tiers
+    assert "discarded" in tiers
+    # at least one fallback comparator tier engaged
+    assert tiers & {"readability", "justext", "escalation_recall", "escalation_justext"}
+
+
+def test_every_turn_has_row(spark, spark_output):
+    df = transcripts_df(spark, N_CONVS, num_slices=4)
+    assert df.count() == len(spark_output)
+
+
+def test_plan_shape(spark):
+    "The physical plan keeps scan-side work out of Python: one Arrow stage."
+    df = transcripts_df(spark, 5, num_slices=2)
+    out = extract_transcripts(df, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "MapInArrow" in plan

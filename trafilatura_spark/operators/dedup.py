@@ -42,31 +42,39 @@ def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    "Distinct word n-gram shingles per document (lowercased, ws-tokenized)."
+    """Distinct word n-gram shingles per document (lowercased, ws-tokenized).
+
+    The shingle SET is per document, so dedup happens inside the array
+    (array_distinct) BEFORE explode — no global shuffle for distinctness."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     ngrams = F.expr(
-        f"transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(words, i, {n})))"
+        f"array_distinct(transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(words, i, {n}))))"
     )
     return (
         df.select(F.col(id_col), words.alias("words"))
         .select(F.col(id_col), F.explode(ngrams).alias("shingle"))
-        .distinct()
     )
 
 
 def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
     return f"""
-    SELECT DISTINCT {id_col}, shingle FROM (
-      SELECT {id_col},
-             unnest(list_transform(
-               range(1, GREATEST(len(words) - {n - 1}, 1) + 1),
-               i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
-      FROM (SELECT {id_col},
-                   string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' ') AS words
-            FROM {table})
-    )
+    SELECT {id_col},
+           unnest(list_distinct(list_transform(
+             range(1, GREATEST(len(words) - {n - 1}, 1) + 1),
+             i -> array_to_string(words[i:i+{n - 1}], ' ')))) AS shingle
+    FROM (SELECT {id_col},
+                 string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' ') AS words
+          FROM {table})
     """
+
+
+def _sig_expr_parts(num_hashes: int):
+    """(source_hash_index, hex_offset) per signature slot: num_hashes
+    independent-ish 32-bit hash values carved as disjoint 8-hex windows
+    out of ceil(num_hashes/4) md5 digests — 4 slots per digest, so the
+    md5 work per shingle drops 4x vs one digest per slot."""
+    return [(j // 4, (j % 4) * 8 + 1) for j in range(num_hashes)]
 
 
 def minhash_signatures(
@@ -76,11 +84,15 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE_N,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    "MinHash signature per doc: sig_j = min over shingles of md5(j || ':' || shingle)."
+    "MinHash signature per doc: sig_j = min over shingles of a 32-bit md5 window."
     sh = _shingles(df, id_col, text_col, n)
+    n_digests = (num_hashes + 3) // 4
+    for d in range(n_digests):
+        seed = "" if d == 0 else f"{d}:"
+        sh = sh.withColumn(f"h{d}", F.md5(F.concat(F.lit(seed), F.col("shingle"))))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
-        for j in range(num_hashes)
+        F.min(F.substring(F.col(f"h{src}"), off, 8)).alias(f"sig_{j}")
+        for j, (src, off) in enumerate(_sig_expr_parts(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -92,10 +104,20 @@ def minhash_signatures_sql(
     n: int = DEFAULT_SHINGLE_N,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> str:
-    aggs = ", ".join(
-        f"MIN(md5('{j}:' || shingle)) AS sig_{j}" for j in range(num_hashes)
+    n_digests = (num_hashes + 3) // 4
+    digest_exprs = ", ".join(
+        ("md5(shingle)" if d == 0 else f"md5('{d}:' || shingle)") + f" AS h{d}"
+        for d in range(n_digests)
     )
-    return f"SELECT {id_col}, {aggs} FROM ({_shingles_sql(table, id_col, text_col, n)}) GROUP BY {id_col}"
+    aggs = ", ".join(
+        f"MIN(substring(h{src}, {off}, 8)) AS sig_{j}"
+        for j, (src, off) in enumerate(_sig_expr_parts(num_hashes))
+    )
+    return (
+        f"SELECT {id_col}, {aggs} FROM "
+        f"(SELECT {id_col}, {digest_exprs} FROM ({_shingles_sql(table, id_col, text_col, n)})) "
+        f"GROUP BY {id_col}"
+    )
 
 
 def minhash_lsh_pairs(
@@ -120,6 +142,9 @@ def minhash_lsh_pairs(
             F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)])
         ).alias("bucket"),
     )
+    # materialize before the self-join: otherwise the whole shingle/minhash
+    # lineage is recomputed once per join side
+    stacked = stacked.persist()
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
