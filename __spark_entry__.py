@@ -22,13 +22,14 @@ from trafilatura_spark.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: per-turn main-content extraction over the synthetic
-    transcript corpus — salted repartition -> mapInPandas cascade ->
-    stable (conv_id, turn_idx) ordering."""
+    transcript corpus — balanced input partitioning (salted repartition
+    available for skewed inputs) -> mapInPandas cascade -> stable
+    (conv_id, turn_idx) ordering."""
     from trafilatura_spark.fixtures import transcripts_df
     from trafilatura_spark.operators.extract import extract_transcripts
 
-    df = transcripts_df(spark, 60, num_slices=8)
-    return extract_transcripts(df, num_partitions=16).orderBy("conv_id", "turn_idx")
+    df = transcripts_df(spark, 60, num_slices=16)
+    return extract_transcripts(df).orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,697 @@
+"""Document metadata extraction (title/author/url/sitename/date/
+categories/tags/license/description/image/pagetype).
+
+Semantics mirror /root/reference/trafilatura/metadata.py (opengraph
+:185-204, examine_meta :206-299, title :330-358, author :361-368, url
+:370-395, sitename :398-401, cats/tags :404-422, license :425-455,
+orchestrator :458-563) and json_metadata.py's author normalization
+(:289-335).  Date finding is a lightweight heuristic stand-in for the
+htmldate dependency (absent here): JSON-LD/meta dates, <time datetime>,
+URL patterns.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from html import unescape
+from typing import Optional
+from urllib.parse import urlparse
+
+from .cleaning import prune_unwanted_nodes
+from .dom import Element
+from .loader import load_html
+from .selectors import _fa, _first_attr
+from .textutils import line_processing, trim
+
+HTML_STRIP_TAGS = re.compile(r"(<!--.*?-->|<[^>]*>)")
+META_URL = re.compile(r"https?://(?:www\.|w[0-9]+\.)?([^/]+)")
+JSON_MINIFY = re.compile(r'("(?:\\.|[^"\\])*")|\s')
+HTMLTITLE_REGEX = re.compile(r"^(.+)?\s+[–•·—|⁄*⋆~‹«<›»>:-]\s+(.+)$")
+CLEAN_META_TAGS = re.compile(r'["\']')
+LICENSE_REGEX = re.compile(r"/(by-nc-nd|by-nc-sa|by-nc|by-nd|by-sa|by|zero)/([1-9]\.[0-9])")
+TEXT_LICENSE_REGEX = re.compile(
+    r"(cc|creative commons) (by-nc-nd|by-nc-sa|by-nc|by-nd|by-sa|by|zero) ?([1-9]\.[0-9])?", re.I
+)
+
+METANAME_AUTHOR = {
+    "article:author", "atc-metaauthor", "author", "authors", "byl", "citation_author",
+    "creator", "dc.creator", "dc.creator.aut", "dc:creator", "dcterms.creator",
+    "dcterms.creator.aut", "dcsext.author", "parsely-author", "rbauthors",
+    "sailthru.author", "shareaholic:article_author_name",
+}
+METANAME_DESCRIPTION = {
+    "dc.description", "dc:description", "dcterms.abstract", "dcterms.description",
+    "description", "sailthru.description", "twitter:description",
+}
+METANAME_PUBLISHER = {
+    "article:publisher", "citation_journal_title", "copyright", "dc.publisher",
+    "dc:publisher", "dcterms.publisher", "publisher", "sailthru.publisher",
+    "rbpubname", "twitter:site",
+}
+METANAME_TAG = {
+    "citation_keywords", "dcterms.subject", "keywords", "parsely-tags",
+    "shareaholic:keywords", "tags",
+}
+METANAME_TITLE = {
+    "citation_title", "dc.title", "dcterms.title", "fb_title", "headline",
+    "parsely-title", "sailthru.title", "shareaholic:title", "rbtitle", "title",
+    "twitter:title",
+}
+METANAME_IMAGE = {
+    "image", "og:image", "og:image:url", "og:image:secure_url", "twitter:image",
+    "twitter:image:src",
+}
+PROPERTY_AUTHOR = {"author", "article:author"}
+TWITTER_ATTRS = {"twitter:site", "application-name"}
+EXTRA_META = {"charset", "http-equiv", "property"}
+
+OG_PROPERTIES = {
+    "og:title": "title",
+    "og:description": "description",
+    "og:site_name": "sitename",
+    "og:image": "image",
+    "og:image:url": "image",
+    "og:image:secure_url": "image",
+    "og:type": "pagetype",
+}
+OG_AUTHOR = {"og:author", "og:article:author"}
+
+# --- author normalization (json_metadata.py:85-105, 289-335) -----------------
+
+AUTHOR_PREFIX = re.compile(r"^([a-zäöüß]+(ed|t))? ?(written by|words by|words|by|von|from) ", re.I)
+AUTHOR_REMOVE_NUMBERS = re.compile(r"\d.+?$")
+AUTHOR_TWITTER = re.compile(r"@[\w]+")
+AUTHOR_REPLACE_JOIN = re.compile(r"[._+]")
+AUTHOR_REMOVE_NICKNAME = re.compile(r'["‘({\[’\'][^"]+?[‘’"\')\]}]')
+AUTHOR_REMOVE_SPECIAL = re.compile(r"[^\w]+$|[:()?*$#!%/<>{}~¿]")
+AUTHOR_REMOVE_PREPOSITION = re.compile(
+    r"\b\s+(am|on|for|at|in|to|from|of|via|with|—|-|–)\s+(.*)", re.I
+)
+AUTHOR_EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b")
+AUTHOR_SPLIT = re.compile(r"/|;|,|\||&|(?:^|\W)[ua]nd(?:$|\W)", re.I)
+AUTHOR_EMOJI_REMOVE = re.compile(
+    "[\U00002700-\U000027be\U0001f600-\U0001f64f\U00002600-\U000026ff"
+    "\U0001f300-\U0001f5ff\U0001f900-\U0001f9ff\U0001fa70-\U0001faff\U0001f680-\U0001f6ff]+"
+)
+
+
+@dataclass
+class Metadata:
+    title: Optional[str] = None
+    author: Optional[str] = None
+    url: Optional[str] = None
+    hostname: Optional[str] = None
+    description: Optional[str] = None
+    sitename: Optional[str] = None
+    date: Optional[str] = None
+    categories: list = field(default_factory=list)
+    tags: list = field(default_factory=list)
+    license: Optional[str] = None
+    image: Optional[str] = None
+    pagetype: Optional[str] = None
+
+    def as_dict(self) -> dict:
+        return {
+            "title": self.title, "author": self.author, "url": self.url,
+            "hostname": self.hostname, "description": self.description,
+            "sitename": self.sitename, "date": self.date,
+            "categories": list(self.categories or []), "tags": list(self.tags or []),
+            "license": self.license, "image": self.image, "pagetype": self.pagetype,
+        }
+
+
+def _is_valid_url(url: Optional[str]) -> bool:
+    if not url:
+        return False
+    parsed = urlparse(url)
+    return parsed.scheme in ("http", "https") and bool(parsed.netloc)
+
+
+def normalize_authors(current_authors: Optional[str], author_string: str) -> Optional[str]:
+    "Focus author info on names only (json_metadata.py:289-335)."
+    new_authors = []
+    if author_string.lower().startswith("http") or AUTHOR_EMAIL.match(author_string):
+        return current_authors
+    if current_authors is not None:
+        new_authors = current_authors.split("; ")
+    if "\\u" in author_string:
+        try:
+            author_string = author_string.encode().decode("unicode_escape")
+        except UnicodeDecodeError:
+            pass
+    if "&#" in author_string or "&amp;" in author_string:
+        author_string = unescape(author_string)
+    author_string = HTML_STRIP_TAGS.sub("", author_string)
+    for author in AUTHOR_SPLIT.split(author_string):
+        author = trim(author)
+        author = AUTHOR_EMOJI_REMOVE.sub("", author)
+        author = AUTHOR_TWITTER.sub("", author)
+        author = trim(AUTHOR_REPLACE_JOIN.sub(" ", author))
+        author = AUTHOR_REMOVE_NICKNAME.sub("", author)
+        author = AUTHOR_REMOVE_SPECIAL.sub("", author)
+        author = AUTHOR_PREFIX.sub("", author)
+        author = AUTHOR_REMOVE_NUMBERS.sub("", author)
+        author = AUTHOR_REMOVE_PREPOSITION.sub("", author)
+        if not author or (len(author) >= 50 and " " not in author and "-" not in author):
+            continue
+        if not author[0].isupper():
+            author = author.title()
+        if author not in new_authors:
+            new_authors.append(author)
+    new_authors = [n for n in new_authors if not any(n != m and n in m for m in new_authors)]
+    if not new_authors:
+        return current_authors
+    return "; ".join(new_authors).strip("; ")
+
+
+def normalize_tags(tags: str) -> str:
+    trimmed = trim(unescape(tags))
+    if not trimmed:
+        return ""
+    tags = CLEAN_META_TAGS.sub("", trimmed)
+    return ", ".join(filter(None, tags.split(", ")))
+
+
+def _head_metas(tree: Element):
+    head = tree.find("head")
+    metas = list(head.iterdescendants("meta")) if head is not None else []
+    # body-parsed metas too (parser may keep them in body for fragments)
+    metas += [m for m in tree.iterdescendants("meta") if m not in metas]
+    return metas
+
+
+def extract_opengraph(tree: Element) -> dict:
+    "OpenGraph meta tags (metadata.py:185-204)."
+    result = dict.fromkeys(("title", "author", "url", "description", "sitename", "image", "pagetype"))
+    for elem in _head_metas(tree):
+        prop, content = elem.get("property"), elem.get("content")
+        if not prop or not str(prop).startswith("og:"):
+            continue
+        if content and not content.isspace():
+            if prop in OG_PROPERTIES:
+                result[OG_PROPERTIES[prop]] = content
+            elif prop == "og:url" and _is_valid_url(content):
+                result["url"] = content
+            elif prop in OG_AUTHOR:
+                result["author"] = normalize_authors(None, content)
+    return result
+
+
+def examine_meta(tree: Element) -> Metadata:
+    "Search meta tags (metadata.py:206-299)."
+    og = extract_opengraph(tree)
+    metadata = Metadata(**{k: v for k, v in og.items() if k != "url"}, url=og.get("url"))
+
+    if all((metadata.title, metadata.author, metadata.url, metadata.description,
+            metadata.sitename, metadata.image)):
+        return metadata
+
+    tags: list = []
+    backup_sitename = None
+
+    for elem in _head_metas(tree):
+        content_attr = HTML_STRIP_TAGS.sub("", elem.get("content", "") or "").strip()
+        if not content_attr:
+            continue
+        if "property" in elem.attrib:
+            property_attr = (elem.get("property") or "").lower()
+            if property_attr.startswith("og:"):
+                continue
+            if property_attr == "article:tag":
+                tags.append(normalize_tags(content_attr))
+            elif property_attr in PROPERTY_AUTHOR:
+                metadata.author = normalize_authors(metadata.author, content_attr)
+            elif property_attr == "article:publisher":
+                metadata.sitename = metadata.sitename or content_attr
+            elif property_attr in METANAME_IMAGE:
+                metadata.image = metadata.image or content_attr
+        elif "name" in elem.attrib:
+            name_attr = (elem.get("name") or "").lower()
+            if name_attr in METANAME_AUTHOR:
+                metadata.author = normalize_authors(metadata.author, content_attr)
+            elif name_attr in METANAME_TITLE:
+                metadata.title = metadata.title or content_attr
+            elif name_attr in METANAME_DESCRIPTION:
+                metadata.description = metadata.description or content_attr
+            elif name_attr in METANAME_PUBLISHER:
+                metadata.sitename = metadata.sitename or content_attr
+            elif name_attr in METANAME_IMAGE:
+                metadata.image = metadata.image or content_attr
+            elif name_attr in TWITTER_ATTRS or "twitter:app:name" in name_attr:
+                backup_sitename = content_attr
+            elif name_attr == "twitter:url" and not metadata.url and _is_valid_url(content_attr):
+                metadata.url = content_attr
+            elif name_attr in METANAME_TAG:
+                tags.append(normalize_tags(content_attr))
+        elif "itemprop" in elem.attrib:
+            itemprop_attr = (elem.get("itemprop") or "").lower()
+            if itemprop_attr == "author":
+                metadata.author = normalize_authors(metadata.author, content_attr)
+            elif itemprop_attr == "description":
+                metadata.description = metadata.description or content_attr
+            elif itemprop_attr == "headline":
+                metadata.title = metadata.title or content_attr
+
+    metadata.sitename = metadata.sitename or backup_sitename
+    metadata.tags = [t for t in tags if t]
+    return metadata
+
+
+# --- JSON-LD ---------------------------------------------------------------
+
+_ARTICLE_TYPES = {
+    "article", "newsarticle", "blogposting", "socialmediaposting", "report",
+    "scholarlyarticle", "techarticle", "liveblogposting", "discussionforumposting",
+}
+
+
+def _jsonld_name(value) -> Optional[str]:
+    if isinstance(value, str):
+        return trim(value) or None
+    if isinstance(value, dict):
+        return _jsonld_name(value.get("name"))
+    if isinstance(value, list):
+        for item in value:
+            name = _jsonld_name(item)
+            if name:
+                return name
+    return None
+
+
+def _walk_jsonld(node, metadata: Metadata) -> None:
+    if isinstance(node, list):
+        for item in node:
+            _walk_jsonld(item, metadata)
+        return
+    if not isinstance(node, dict):
+        return
+    node_type = str(node.get("@type", "")).lower()
+    if "author" in node:
+        name = _jsonld_name(node["author"])
+        if name:
+            metadata.author = normalize_authors(metadata.author, name)
+    if node_type in _ARTICLE_TYPES or "headline" in node:
+        headline = node.get("headline") or node.get("name")
+        if isinstance(headline, str) and not metadata.title:
+            metadata.title = trim(headline) or None
+        if node_type and not metadata.pagetype:
+            metadata.pagetype = node_type
+    if "publisher" in node and not metadata.sitename:
+        metadata.sitename = _jsonld_name(node["publisher"])
+    if "datePublished" in node and not metadata.date:
+        metadata.date = _normalize_date(str(node["datePublished"]))
+    if "description" in node and isinstance(node["description"], str) and not metadata.description:
+        metadata.description = trim(node["description"]) or None
+    for container in ("@graph", "mainEntity", "mainEntityOfPage"):
+        if container in node:
+            _walk_jsonld(node[container], metadata)
+
+
+def extract_meta_json(tree: Element, metadata: Metadata) -> Metadata:
+    for elem in tree.iterdescendants("script"):
+        if elem.get("type") not in ("application/ld+json", "application/settings+json"):
+            continue
+        if not elem.text:
+            continue
+        try:
+            schema = json.loads(JSON_MINIFY.sub(r"\1", elem.text), strict=False)
+        except json.JSONDecodeError:
+            continue
+        _walk_jsonld(schema, metadata)
+    return metadata
+
+
+# --- title / author / url / sitename (metadata.py:302-401) -------------------
+
+_TITLE_RE1 = re.compile(r"(?:post-|entry-|article-|post__)title|headline")
+_AUTHOR_NAME_RE = re.compile(r"author-?name|AuthorName|authorName")
+_AUTHOR_GEN_RE = re.compile(
+    r"author|channel-name|zuozhe|bianji|xiaobian|submitted-by|posted-by|journalist-name"
+)
+_AUTHOR_GEN_ID_RE = re.compile(r"author|zuozhe|bianji|xiaobian")
+_AUTHOR_LAST_RE = re.compile(r"[Aa]uthor|screenname|writer|[Bb]yline")
+_AUTHOR_LAST_ID_RE = re.compile(r"[Aa]uthor")
+_AUTHOR_DISCARD_ID_RE = re.compile(r"^comments|comment-?list|ProductReviews")
+_AUTHOR_DISCARD_CLASS_RE = re.compile(
+    r"^[Cc]omments|commentlist|comments-list|sidebar|is-hidden|quote|embedly-instagram"
+    r"|article-(?:share|support)|print|category|meta-date|meta-reviewer"
+)
+
+
+def _title_xpath_matches(tree: Element) -> list:
+    first = [
+        el for el in tree.iterdescendants("h1", "h2")
+        if _TITLE_RE1.search(_fa(el, "class"))
+        or "headline" in _fa(el, "id")
+        or "headline" in _fa(el, "itemprop")
+    ]
+    second = [el for el in tree.iterdescendants() if _fa(el, "class") in ("entry-title", "post-title")]
+    third = [
+        el for el in tree.iterdescendants("h1", "h2", "h3")
+        if "title" in _fa(el, "class") or "title" in _fa(el, "id")
+    ]
+    return [first, second, third]
+
+
+def _author_xpath_matches(tree: Element) -> list:
+    first = []
+    for el in tree.iterdescendants("a", "address", "div", "link", "p", "span", "strong", "author"):
+        if el.tag == "author":
+            first.append(el)
+            continue
+        if (
+            _fa(el, "rel") == "author" or _fa(el, "id") == "author" or _fa(el, "class") == "author"
+            or _fa(el, "itemprop") == "author name"
+            or _fa(el, "data-testid") in ("AuthorCard", "AuthorURL")
+            or _AUTHOR_NAME_RE.search(_fa(el, "class"))
+        ):
+            first.append(el)
+    second = []
+    for el in tree.iterdescendants("a", "div", "h3", "h4", "p", "span"):
+        if (
+            _fa(el, "class") in ("byline", "username", "byl", "BBL")
+            or "author" in _fa(el, "itemprop")
+            or _AUTHOR_GEN_ID_RE.search(_fa(el, "id"))
+            or _AUTHOR_GEN_RE.search(_fa(el, "class"))
+        ):
+            second.append(el)
+    third = []
+    for el in tree.iterdescendants():
+        if (
+            "Byline" in _fa(el, "data-component")
+            or "author" in _fa(el, "itemprop")
+            or _AUTHOR_LAST_ID_RE.search(_fa(el, "id"))
+            or _AUTHOR_LAST_RE.search(_fa(el, "class"))
+        ):
+            third.append(el)
+    return [first, second, third]
+
+
+def _author_discard_matches(tree: Element) -> list:
+    out = []
+    for el in tree.iterdescendants("a", "div", "section", "span"):
+        if (
+            _fa(el, "id") == "comments" or _fa(el, "class") in ("comments", "title", "date")
+            or _AUTHOR_DISCARD_ID_RE.search(_fa(el, "id"))
+            or _AUTHOR_DISCARD_CLASS_RE.search(_fa(el, "class"))
+            or "Figure" in _fa(el, "data-component")
+        ):
+            out.append(el)
+    out2 = list(tree.iterdescendants("time", "figure"))
+    return [out, out2]
+
+
+def extract_metainfo(tree: Element, match_passes: list, len_limit: int = 200) -> Optional[str]:
+    for matches in match_passes:
+        for elem in matches:
+            content = trim(" ".join(elem.itertext()))
+            if content and 2 < len(content) < len_limit:
+                return content
+    return None
+
+
+def examine_title_element(tree: Element):
+    title = ""
+    head = tree.find("head")
+    title_element = head.find(".//title") if head is not None else None
+    if title_element is None:
+        title_element = tree.find(".//title")
+    if title_element is not None:
+        title = trim(title_element.text_content())
+        match = HTMLTITLE_REGEX.match(title)
+        if match:
+            return title, match[1], match[2]
+    return title, None, None
+
+
+def extract_title(tree: Element) -> Optional[str]:
+    "Title ladder (metadata.py:330-358)."
+    h1_results = list(tree.iterdescendants("h1"))
+    if len(h1_results) == 1:
+        title = trim(h1_results[0].text_content())
+        if title:
+            return title
+    title = extract_metainfo(tree, _title_xpath_matches(tree)) or ""
+    if title:
+        return title
+    title, first, second = examine_title_element(tree)
+    for t in (first, second, title):
+        if t and "." not in t:
+            return t
+    for h1_result in h1_results:
+        title = trim(h1_result.text_content())
+        if title:
+            return title
+    h2s = list(tree.iterdescendants("h2"))
+    if h2s:
+        title = trim(h2s[0].text_content())
+    return title or None
+
+
+def extract_author(tree: Element) -> Optional[str]:
+    subtree = tree.copy_tree()
+    subtree = prune_unwanted_nodes(subtree, _author_discard_matches(subtree))
+    author = extract_metainfo(subtree, _author_xpath_matches(subtree), len_limit=120)
+    if author:
+        author = normalize_authors(None, author)
+    return author
+
+
+def extract_url(tree: Element, default_url: Optional[str] = None) -> Optional[str]:
+    "Canonical/base/alternate links (metadata.py:370-395)."
+    url = None
+    head = tree.find("head")
+    links = list(head.iterdescendants("link", "base")) if head is not None else []
+    links += [l for l in tree.iterdescendants("link", "base") if l not in links]
+    for selector in (
+        lambda e: e.tag == "link" and e.get("rel") == "canonical",
+        lambda e: e.tag == "base",
+        lambda e: e.tag == "link" and e.get("rel") == "alternate" and e.get("hreflang") == "x-default",
+    ):
+        element = next((e for e in links if selector(e)), None)
+        url = element.get("href") if element is not None else None
+        if url:
+            break
+    if url and url.startswith("/"):
+        for element in _head_metas(tree):
+            attrtype = element.get("name") or element.get("property") or ""
+            content = element.get("content") or ""
+            if attrtype.startswith(("og:", "twitter:")) and content.startswith("http"):
+                parsed = urlparse(content)
+                if parsed.netloc:
+                    url = f"{parsed.scheme}://{parsed.netloc}" + url
+                    break
+    if url and not _is_valid_url(url):
+        url = None
+    return url or default_url
+
+
+def extract_domain(url: str) -> Optional[str]:
+    netloc = urlparse(url).netloc.lower()
+    if netloc.startswith("www."):
+        netloc = netloc[4:]
+    return netloc or None
+
+
+def extract_sitename(tree: Element) -> Optional[str]:
+    _, *parts = examine_title_element(tree)
+    return next((part for part in parts if part and "." in part), None)
+
+
+_CAT_META_RE = re.compile(r"^(?:post-?info|post-?meta|meta|entry-meta|entry-info|entry-utility)")
+_TAG_META_RE = re.compile(r"^(?:tag|postmeta|meta)")
+
+
+def _links_under(containers, tree) -> list:
+    out = []
+    for el in containers:
+        out.extend(a for a in el.iterdescendants("a") if "href" in a.attrib)
+    return out
+
+
+def _catstag_matches(metatype: str, tree: Element) -> list:
+    "CATEGORIES_XPATHS / TAGS_XPATHS ladders (xpaths.py:385-415)."
+    passes = []
+    if metatype == "category":
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("div")
+             if _CAT_META_RE.search(_fa(e, "class")) or _fa(e, "id").startswith("postpath")], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("p")
+             if _fa(e, "class").startswith(("postmeta", "entry-categories"))
+             or _fa(e, "class") == "postinfo" or _fa(e, "id") == "filedunder"], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("footer")
+             if _fa(e, "class").startswith(("entry-meta", "entry-footer"))], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("li", "span")
+             if _fa(e, "class") in ("post-category", "postcategory", "entry-category")
+             or "cat-links" in _fa(e, "class")], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("header") if _fa(e, "class") == "entry-header"], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("div") if _fa(e, "class") in ("row", "tags")], tree))
+    else:
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("div") if _fa(e, "class") == "tags"], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("p") if _fa(e, "class").startswith("entry-tags")], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants("div")
+             if _fa(e, "class") in ("row", "jp-relatedposts", "entry-utility")
+             or _TAG_META_RE.search(_fa(e, "class"))], tree))
+        passes.append(_links_under(
+            [e for e in tree.iterdescendants()
+             if _fa(e, "class") == "entry-meta" or "topics" in _fa(e, "class")
+             or "tags-links" in _fa(e, "class")], tree))
+    return passes
+
+
+def extract_catstags(metatype: str, tree: Element) -> list:
+    "Category/tag links gated by href pattern (metadata.py:404-422)."
+    results: list = []
+    regexpr = "/" + metatype.rstrip("y") + "(?:y|ies|s)?/"
+    for matches in _catstag_matches(metatype, tree):
+        results.extend(
+            elem.text_content() for elem in matches if re.search(regexpr, elem.attrib.get("href", ""))
+        )
+        if results:
+            break
+    if metatype == "category" and not results:
+        for element in _head_metas(tree):
+            if (element.get("property") == "article:section"
+                    or "subject" in (element.get("name") or "")) and element.get("content"):
+                results.append(element.attrib["content"])
+    return [r for r in dict.fromkeys(line_processing(x) for x in results if x) if r]
+
+
+def parse_license_element(element: Element, strict: bool = False) -> Optional[str]:
+    match = LICENSE_REGEX.search(element.get("href", ""))
+    if match:
+        return f"CC {match[1].upper()} {match[2]}"
+    text = trim(element.text_content())
+    if text:
+        if strict:
+            match2 = TEXT_LICENSE_REGEX.search(text)
+            return match2[0] if match2 else None
+        return text
+    return None
+
+
+def extract_license(tree: Element) -> Optional[str]:
+    "License links (metadata.py:425-455)."
+    for element in tree.iterdescendants("a"):
+        if element.get("rel") == "license" and "href" in element.attrib:
+            result = parse_license_element(element, strict=False)
+            if result is not None:
+                return result
+    candidates = []
+    for footer in tree.iterdescendants("footer"):
+        candidates.extend(a for a in footer.iterdescendants("a") if "href" in a.attrib)
+    for div in tree.iterdescendants("div"):
+        if "footer" in _fa(div, "class") or "footer" in _fa(div, "id"):
+            candidates.extend(a for a in div.iterdescendants("a") if "href" in a.attrib)
+    for element in candidates:
+        result = parse_license_element(element, strict=True)
+        if result is not None:
+            return result
+    return None
+
+
+# --- date (lightweight htmldate stand-in) ------------------------------------
+
+_DATE_META_NAMES = {
+    "article:published_time", "og:article:published_time", "datepublished",
+    "article.published", "date", "dc.date", "dc.date.issued", "dcterms.date",
+    "sailthru.date", "pubdate", "publishdate", "publish-date", "parsely-pub-date",
+}
+_ISO_DATE_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
+_URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})/")
+
+
+def _normalize_date(value: str) -> Optional[str]:
+    match = _ISO_DATE_RE.search(value)
+    if match:
+        y, m, d = int(match[1]), int(match[2]), int(match[3])
+        if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
+            return f"{y:04d}-{m:02d}-{d:02d}"
+    return None
+
+
+def find_date(tree: Element, url: Optional[str] = None) -> Optional[str]:
+    """Heuristic publication-date finder (stand-in for the htmldate
+    dependency, which is unavailable here): meta tags -> <time datetime>
+    -> URL path pattern."""
+    for elem in _head_metas(tree):
+        attrtype = (elem.get("name") or elem.get("property") or elem.get("itemprop") or "").lower()
+        if attrtype in _DATE_META_NAMES and elem.get("content"):
+            result = _normalize_date(elem.get("content", ""))
+            if result:
+                return result
+    for time_el in tree.iterdescendants("time"):
+        for candidate in (time_el.get("datetime"), time_el.text_content()):
+            if candidate:
+                result = _normalize_date(candidate)
+                if result:
+                    return result
+    if url:
+        match = _URL_DATE_RE.search(url)
+        if match:
+            y, m, d = int(match[1]), int(match[2]), int(match[3])
+            if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
+                return f"{y:04d}-{m:02d}-{d:02d}"
+    return None
+
+
+def extract_metadata(filecontent, default_url: Optional[str] = None) -> Metadata:
+    "Orchestrator (metadata.py:458-563)."
+    tree = load_html(filecontent)
+    if tree is None:
+        return Metadata()
+
+    metadata = examine_meta(tree)
+    if metadata.author and " " not in metadata.author:
+        metadata.author = None
+
+    try:
+        metadata = extract_meta_json(tree, metadata)
+    except Exception:
+        pass
+
+    if not metadata.title:
+        metadata.title = extract_title(tree)
+    if not metadata.author:
+        metadata.author = extract_author(tree)
+    if not metadata.url:
+        metadata.url = extract_url(tree, default_url)
+    if metadata.url:
+        metadata.hostname = extract_domain(metadata.url)
+    if not metadata.date:
+        metadata.date = find_date(tree, metadata.url)
+    if not metadata.sitename:
+        metadata.sitename = extract_sitename(tree)
+    if metadata.sitename:
+        metadata.sitename = metadata.sitename.lstrip("@")
+        if metadata.sitename and "." not in metadata.sitename and not metadata.sitename[0].isupper():
+            metadata.sitename = metadata.sitename.title()
+    elif metadata.url:
+        mymatch = META_URL.match(metadata.url)
+        if mymatch:
+            metadata.sitename = mymatch[1]
+    if not metadata.categories:
+        metadata.categories = extract_catstags("category", tree)
+    if not metadata.tags:
+        metadata.tags = extract_catstags("tag", tree)
+    metadata.license = extract_license(tree)
+
+    # trim all string fields (Document.clean_and_trim analog)
+    for attr in ("title", "author", "url", "hostname", "description", "sitename",
+                 "date", "license", "image", "pagetype"):
+        value = getattr(metadata, attr)
+        if isinstance(value, str):
+            if len(value) > 10000:
+                value = value[:9999] + "…"
+            setattr(metadata, attr, line_processing(unescape(value)))
+    return metadata

@@ -154,6 +154,13 @@ def extract_transcripts(
     the scan) — the throughput configuration for production sweeps.
     """
     passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+    # Partitioning policy: extraction is per-turn (no co-location needed),
+    # so the default trusts the input partitioning — for file/Iceberg
+    # sources, spark.sql.files.maxPartitionBytes already yields balanced
+    # splits, and skipping the pre-UDF shuffle measured >2x faster here.
+    # Pass num_partitions to engage the conv_id-salted repartition when
+    # the input is skewed (e.g. one giant conversation per input split)
+    # or badly sized.
     if keep_discarded:
         gated = df
     else:
@@ -167,7 +174,8 @@ def extract_transcripts(
         )
     needed = list(dict.fromkeys(passthrough + ["text"]))
     pruned = gated.select(*needed)  # column pruning reaches the scan
-    salted = salted_repartition(pruned, num_partitions, salt_buckets)
+    if num_partitions is not None:
+        pruned = salted_repartition(pruned, num_partitions, salt_buckets)
     schema = extract_result_schema(df, passthrough)
     fn = make_extract_batch_fn(options, passthrough, timeout)
-    return salted.mapInPandas(fn, schema=schema)
+    return pruned.mapInPandas(fn, schema=schema)

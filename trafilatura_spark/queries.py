@@ -300,8 +300,54 @@ def extract_transcript_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .fixtures import transcripts_df
     from .operators.extract import extract_transcripts
 
-    df = transcripts_df(spark, 120, num_slices=8)
-    return extract_transcripts(df, num_partitions=32).orderBy("conv_id", "turn_idx")
+    df = transcripts_df(spark, 120, num_slices=16)
+    return extract_transcripts(df).orderBy("conv_id", "turn_idx")
+
+
+def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable metadata extraction: build a deterministic page
+    (title + keywords meta) around each document, run the FULL metadata
+    kernel (title ladder incl. separator split, tag normalization)
+    through mapInPandas; the DuckDB twin states the expected values
+    directly in SQL."""
+    from .operators.metadata_op import extract_metadata_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit(" – Source "),
+            F.col("source"),
+            F.lit('</title><meta name="keywords" content="'),
+            F.col("lang"),
+            F.lit('"/></head><body><p>'),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("text"),
+    )
+    out = extract_metadata_columns(docs)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("title"),
+        F.concat_ws(",", F.col("tags")).alias("tags_joined"),
+    )
+
+
+EXTRACT_DOCS_META_SQL = """
+SELECT doc_id, 'Doc ' || doc_id AS title, lang AS tags_joined
+FROM documents
+"""
+
+
+def extract_turn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Metadata struct per transcript turn (rows-only oracle: full ladder)."
+    from .fixtures import transcripts_df
+    from .operators.metadata_op import extract_metadata_columns
+
+    df = transcripts_df(spark, 60, num_slices=8)
+    return extract_metadata_columns(df).orderBy("conv_id", "turn_idx")
 
 
 def extract_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +380,8 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "extract_documents_html": extract_documents_html,
+    "extract_documents_metadata": extract_documents_metadata,
+    "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
     "extract_tier_metrics": extract_tier_metrics,
 }
@@ -356,6 +404,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
     "extract_documents_html": EXTRACT_DOCS_SQL,
-    # extract_transcript_turns / extract_tier_metrics: non-SQL-expressible
-    # (full cascade); driver records rows-only checks
+    "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
+    # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
+    # non-SQL-expressible (full cascade); driver records rows-only checks
 }
