@@ -162,7 +162,7 @@ class Element:
         if p is None:
             return
         i = p._children.index(self)
-        sibs = p._children[i - 1 :: -1] if preceding else p._children[i + 1 :]
+        sibs = p._children[:i][::-1] if preceding else p._children[i + 1 :]
         for s in sibs:
             if want(s.tag):
                 yield s

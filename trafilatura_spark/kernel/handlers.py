@@ -255,7 +255,10 @@ def handle_paragraphs(element: Element, potential_tags: set, options: Options) -
         return process_node(element, options)
 
     processed_element = Element(element.tag)
-    for child in list(element.iterdescendants()):
+    # NOTE reference iterates element.iter("*") which INCLUDES the element
+    # itself (main_extractor.py:323): the p node is processed first and its
+    # own text is carried through the nested-p merge branch below
+    for child in [element] + list(element.iterdescendants()):
         if child.tag not in potential_tags and child.tag != "done":
             continue
         processed_child = handle_textnode(child, options, comments_fix=False, preserve_spaces=True)
