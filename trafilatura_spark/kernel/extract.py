@@ -54,6 +54,9 @@ class ExtractionResult:
     tier: str
     chars_kept: int
     len_comments: int
+    body: Optional[Element] = None
+    commentsbody: Optional[Element] = None
+    raw_text: Optional[str] = None
 
 
 def _forum_thread_page(tree: Element) -> bool:
@@ -301,10 +304,25 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
     if options.comments and commentsbody is not None:
         text = f"{text}\n{xmltotxt(commentsbody, options.formatting)}".strip()
     text = normalize_unicode(text)
-    return ExtractionResult(text, tier, len(text), len_comments)
+    return ExtractionResult(text, tier, len(text), len_comments, postbody, commentsbody, temp_text)
 
 
 def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[str]:
-    "Reference `extract()`-equivalent returning the txt string or None (core.py:494-588)."
+    """Reference `extract()`-equivalent: txt/markdown return the plain
+    string; csv/json/html/xml formats serialize via the format
+    dispatcher (core.py:494-588, 78-132)."""
     result = bare_extract(filecontent, options)
-    return result.text
+    if result.text is None or options.format in ("txt", "markdown"):
+        return result.text
+    from .formats import determine_returnstring
+    from .metadata import extract_metadata
+
+    metadata = None
+    if getattr(options, "with_metadata", False):
+        metadata = extract_metadata(filecontent, options.url)
+        from .fingerprint import content_fingerprint
+
+        metadata.fingerprint = content_fingerprint(  # type: ignore[attr-defined]
+            f"{metadata.title} {result.raw_text}"
+        )
+    return determine_returnstring(result.body, result.commentsbody, options, metadata)

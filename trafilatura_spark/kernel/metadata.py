@@ -119,6 +119,9 @@ class Metadata:
             "sitename": self.sitename, "date": self.date,
             "categories": list(self.categories or []), "tags": list(self.tags or []),
             "license": self.license, "image": self.image, "pagetype": self.pagetype,
+            "fingerprint": getattr(self, "fingerprint", None),
+            "id": getattr(self, "id", None),
+            "language": getattr(self, "language", None),
         }
 
 

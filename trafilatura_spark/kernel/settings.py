@@ -27,6 +27,7 @@ class Options:
     dedup: bool = False
     lang: Optional[str] = None
     url: Optional[str] = None
+    with_metadata: bool = False
     # sizes (settings.cfg:26-33)
     min_extracted_size: int = 250
     min_output_size: int = 1
