@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
+from .dedup_state import duplicate_test
 from .dom import Element, delete_element, strip_tags
 from .selectors import basic_clean_matches
 from .settings import (
@@ -205,7 +206,7 @@ def handle_textnode(
         if elem.tail:
             elem.tail = trim(elem.tail) or None
 
-    if not elem.text and textfilter(elem):
+    if (not elem.text and textfilter(elem)) or (options.dedup and duplicate_test(elem, options)):
         return None
     return elem
 
@@ -220,7 +221,9 @@ def process_node(elem: Element, options: Options) -> Optional[Element]:
     if elem.tag != "lb" and not elem.text and elem.tail:
         elem.text, elem.tail = elem.tail, None
 
-    if (elem.text or elem.tail) and textfilter(elem):
+    if (elem.text or elem.tail) and (
+        textfilter(elem) or (options.dedup and duplicate_test(elem, options))
+    ):
         return None
 
     return elem

@@ -297,6 +297,20 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
                 return ExtractionResult(None, "discarded_size", 0, 0)
         if len_text < options.min_output_size and len_comments < options.min_output_comm_size:
             return ExtractionResult(None, "discarded", 0, 0)
+
+        # body-level duplicate gate (core.py:465-467; reference default off)
+        if options.dedup:
+            from .dedup_state import duplicate_test
+
+            if duplicate_test(postbody, options):
+                return ExtractionResult(None, "discarded_duplicate", 0, 0)
+
+        # language gate (core.py:470-474; heuristic classifier stand-in)
+        if options.lang:
+            from .langid import language_filter
+
+            if language_filter(temp_text, temp_comments, options.lang):
+                return ExtractionResult(None, "wrong_language", 0, 0)
     except (TypeError, ValueError):
         return ExtractionResult(None, "error", 0, 0)
 
