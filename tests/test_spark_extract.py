@@ -62,8 +62,9 @@ def test_tier_coverage(spark_output):
     assert "main" in tiers
     assert "baseline" in tiers
     assert "discarded" in tiers
-    # at least one fallback comparator tier engaged
-    assert tiers & {"readability", "justext", "escalation_recall", "escalation_justext"}
+    assert "escalation_recall" in tiers
+    # at least one external comparator tier engaged
+    assert tiers & {"readability", "justext"}
 
 
 def test_every_turn_has_row(spark, spark_output):

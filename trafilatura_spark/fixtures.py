@@ -158,12 +158,15 @@ def _genre_baseline_paragraphs(seed: int) -> str:
 
 
 def _genre_recall_escalation(seed: int) -> str:
-    "Short core inside non-article layout + lots of page text."
-    core = f'<div class="zzz-main"><p>{_paragraph(seed, 2, 10)}</p></div>'
-    filler = "".join(
-        f'<div class="widget"><span>{_sentence(seed + 100 + i, 20)}</span></div>' for i in range(12)
-    )
-    return core + filler
+    """Stage-4 trigger (core.py:239-274): a short extractable core in an
+    unrecognized container, recall-only content in a list (lists are
+    outside the balanced wild-text search), and bulk page text inside a
+    <form> (dropped by cleaning and by readability's sanitize, counted
+    by html2txt) so the escalation share gate fires."""
+    core = f'<div class="xcontainer"><p>{_paragraph(seed, 3, 12)}</p></div>'
+    items = "".join(f"<li>{_sentence(seed + 40 + i, 18)}</li>" for i in range(8))
+    filler = f"<form>{_long_text(seed + 900, 4000)}</form>"
+    return f"{core}<ul>{items}</ul>{filler}"
 
 
 def _genre_malformed(seed: int) -> str:
