@@ -225,6 +225,95 @@ GROUP BY 1, 2
 """
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Anti-join: customers without any big-ticket order, rolled up by nation."
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    nation = _t(spark, sf_dir, "nation")
+    no_orders = cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q_ANTI_SQL = """
+SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Rollup aggregation: revenue by returnflag with subtotal and grand total."
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Funnel: users whose first signup precedes a later purchase."
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("first_signup")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    converted = (
+        purchases.join(F.broadcast(signups), "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    return converted.orderBy("user_id")
+
+
+Q_FUNNEL_SQL = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS first_signup FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT e.user_id, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 2) AS purchase_value
+FROM events e
+JOIN signups s ON e.user_id = s.user_id
+WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
 # --- training-pipeline operators ------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +458,9 @@ SPARK_QUERIES = {
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_events_sessions": q_events_sessions,
     "q_events_daily": q_events_daily,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_rollup_returns": q_rollup_returns,
+    "q_events_funnel": q_events_funnel,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -393,6 +485,9 @@ ORACLE_SQL = {
     "q_top_orders_per_customer": Q_TOPORDERS_SQL,
     "q_events_sessions": Q_SESSIONS_SQL,
     "q_events_daily": Q_EVENTS_DAILY_SQL,
+    "q_customers_without_orders": Q_ANTI_SQL,
+    "q_rollup_returns": Q_ROLLUP_SQL,
+    "q_events_funnel": Q_FUNNEL_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_minhash": D.minhash_signatures_sql(),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
