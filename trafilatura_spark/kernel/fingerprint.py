@@ -82,3 +82,19 @@ class Simhash:
 def content_fingerprint(content: str) -> str:
     "Simhash hex of meaningful content bits (deduplication.py:147-149)."
     return Simhash(content).to_hex()
+
+
+_STRIP_EXTENSION = None
+
+
+def is_similar_domain(reference: str, new_string: str, threshold: float = 0.5) -> bool:
+    "SequenceMatcher ratio on extension-stripped domains (deduplication.py:25-30)."
+    import re
+    from difflib import SequenceMatcher
+
+    global _STRIP_EXTENSION
+    if _STRIP_EXTENSION is None:
+        _STRIP_EXTENSION = re.compile(r"\.[^/?#]{2,63}$")
+    reference = _STRIP_EXTENSION.sub("", reference)
+    new_string = _STRIP_EXTENSION.sub("", new_string)
+    return SequenceMatcher(None, reference, new_string).ratio() >= threshold

@@ -236,6 +236,71 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+def ngram_jaccard_via_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """The 100 TB near-dup path: exact n-gram Jaccard computed ONLY on
+    minhash-LSH candidate pairs.  The all-pairs shingle self-join of
+    `ngram_jaccard_pairs` is O(sum of shingle-bucket sizes squared);
+    here the expensive exact count is restricted to LSH candidates, so
+    work scales with the number of near-duplicates, not documents^2."""
+    candidates = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    sh = _shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    common = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("ca"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("cb"))
+    return (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn("jac_raw", F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common")))
+        .filter(F.col("jac_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jac_raw"), 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_via_lsh_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    return f"""
+    WITH cand AS ({minhash_lsh_pairs_sql(table, id_col, text_col, n, num_hashes, bands)}),
+    sh AS ({_shingles_sql(table, id_col, text_col, n)}),
+    counts AS (SELECT {id_col}, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.{id_col} = c.id_a
+      JOIN sh b ON b.{id_col} = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (ca.n_shingles + cb.n_shingles - n_common), 6) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.{id_col} = id_a
+    JOIN counts cb ON cb.{id_col} = id_b
+    WHERE n_common * 1.0 / (ca.n_shingles + cb.n_shingles - n_common) >= {threshold}
+    """
+
+
 SIMHASH_BITS = 16
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 

@@ -332,6 +332,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def dedup_jaccard_via_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_via_lsh(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -465,6 +469,7 @@ SPARK_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
@@ -492,6 +497,7 @@ ORACLE_SQL = {
     "dedup_minhash": D.minhash_signatures_sql(),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
+    "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
     "text_token_stats": T.token_stats_sql(),
     "text_lang_id": T.lang_id_sql(),
