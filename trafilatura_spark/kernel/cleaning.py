@@ -51,17 +51,29 @@ def tree_cleaning(tree: Element, options: Options) -> Element:
 
     if options.focus == "recall" and tree.find(".//p") is not None:
         tcopy = tree.copy_tree()
-        for expression in cleaning_list:
-            for element in list(tree.iter(expression)):
-                delete_element(element)
+        _delete_by_taglist(tree, cleaning_list)
         if tree.find(".//p") is None:
             tree = tcopy
     else:
-        for expression in cleaning_list:
-            for element in list(tree.iter(expression)):
-                delete_element(element)
+        _delete_by_taglist(tree, cleaning_list)
 
     return prune_html(tree, options.focus)
+
+
+def _delete_by_taglist(tree: Element, cleaning_list: list) -> None:
+    """Delete all elements whose tag is in the list, processing tags in
+    list order for determinism (reference iterates tag-by-tag,
+    htmlprocessing.py:77-80) — but with a single tree traversal:
+    deleting an element already inside a detached subtree is a no-op on
+    the output, so per-tag re-traversal is unnecessary."""
+    wanted = set(cleaning_list)
+    by_tag: dict = {t: [] for t in cleaning_list}
+    for element in tree.iterdescendants():
+        if element.tag in wanted:
+            by_tag[element.tag].append(element)
+    for tag in cleaning_list:
+        for element in by_tag[tag]:
+            delete_element(element)
 
 
 def prune_html(tree: Element, focus: str = "balanced") -> Element:

@@ -275,17 +275,22 @@ def drop_tree(element: Element) -> None:
 
 def strip_tags(tree: Element, *tags: str) -> None:
     """Remove matching elements but keep their text and children, spliced
-    into the parent at the element's position (lxml etree.strip_tags)."""
+    into the parent at the element's position (lxml etree.strip_tags).
+
+    Single traversal: matches are collected with their depth and spliced
+    deepest-first, so nested matches are handled without rescanning."""
     tagset = frozenset(t for group in tags for t in ([group] if isinstance(group, str) else group))
-    # repeat until no matches (children of stripped nodes may match too);
-    # process bottom-up to keep positions stable
-    changed = True
-    while changed:
-        changed = False
-        for el in list(tree.iterdescendants()):
-            if el.tag in tagset and el._parent is not None:
-                _splice(el)
-                changed = True
+    matches: list = []
+    stack = [(c, 1) for c in reversed(tree._children)]
+    while stack:
+        node, depth = stack.pop()
+        if node.tag in tagset:
+            matches.append((depth, node))
+        stack.extend((c, depth + 1) for c in reversed(node._children))
+    matches.sort(key=lambda pair: -pair[0])
+    for _, el in matches:
+        if el._parent is not None:
+            _splice(el)
 
 
 def _splice(el: Element) -> None:
