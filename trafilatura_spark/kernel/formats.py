@@ -267,7 +267,14 @@ def build_html_output(body: Element, metadata=None, with_metadata: bool = False)
 def determine_returnstring(body: Element, commentsbody: Optional[Element],
                            options: Options, metadata=None) -> str:
     "Format dispatch (core.py:78-132)."
-    if options.format in ("xml", "xmltei"):
+    if options.format == "xmltei":
+        from .metadata import Metadata
+        from .tei import build_tei_output
+
+        strip_double_tags(body)
+        remove_empty_elements(body)
+        returnstring = build_tei_output(body, commentsbody, metadata or Metadata())
+    elif options.format == "xml":
         returnstring = build_xml_output(body, commentsbody, metadata)
     elif options.format == "csv":
         returnstring = xmltocsv(body, commentsbody, metadata, options.formatting)

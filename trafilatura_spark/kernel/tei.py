@@ -1,0 +1,195 @@
+"""TEI-XML output (xmltei format).
+
+Semantics mirror /root/reference/trafilatura/xml.py:658-873
+(write_teitree, write_fullheader, check_tei repairs): the extracted body
+and comments are bundled as <div type=entry|comments> under
+<TEI><text><body>, with a teiHeader built from the metadata; head
+elements become <ab type=header>, invalid tags merge into their parent,
+and attributes are restricted to the TEI-valid set.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .dom import Element, SubElement
+from .formats import _merge_with_parent, clean_attributes, tostring_xml
+
+TEI_VALID_TAGS = {
+    "ab", "body", "cell", "code", "del", "div", "graphic", "head", "hi",
+    "item", "lb", "list", "p", "quote", "ref", "row", "table",
+}
+TEI_VALID_ATTRS = {"rend", "rendition", "role", "target", "type"}
+TEI_REMOVE_TAIL = {"ab", "p"}
+TEI_DIV_SIBLINGS = {"p", "list", "table", "quote", "ab"}
+
+ENGINE_IDENT = "trafilatura-spark"
+ENGINE_URL = "https://github.com/adbar/trafilatura"  # semantics source
+
+
+def _sub(parent: Element, tag: str, text: Optional[str] = None, **attrs) -> Element:
+    el = SubElement(parent, tag, dict(attrs))
+    if text is not None:
+        el.text = text
+    return el
+
+
+def _publisher_string(m) -> str:
+    "xml.py:677-685."
+    hostname = getattr(m, "hostname", None)
+    sitename = getattr(m, "sitename", None)
+    if hostname and sitename:
+        return f"{sitename.strip()} ({hostname})"
+    return hostname or sitename or "N/A"
+
+
+def write_fullheader(teidoc: Element, m) -> Element:
+    "TEI header from metadata (xml.py:688-758)."
+    header = SubElement(teidoc, "teiHeader")
+    filedesc = SubElement(header, "fileDesc")
+    bib_titlestmt = SubElement(filedesc, "titleStmt")
+    _sub(bib_titlestmt, "title", getattr(m, "title", None), type="main")
+    if getattr(m, "author", None):
+        _sub(bib_titlestmt, "author", m.author)
+
+    publicationstmt_a = SubElement(filedesc, "publicationStmt")
+    publisher_string = _publisher_string(m)
+    if getattr(m, "license", None):
+        _sub(publicationstmt_a, "publisher", publisher_string)
+        availability = SubElement(publicationstmt_a, "availability")
+        _sub(availability, "p", m.license)
+    else:
+        SubElement(publicationstmt_a, "p")
+
+    notesstmt = SubElement(filedesc, "notesStmt")
+    if getattr(m, "id", None):
+        _sub(notesstmt, "note", m.id, type="id")
+    _sub(notesstmt, "note", getattr(m, "fingerprint", None), type="fingerprint")
+
+    sourcedesc = SubElement(filedesc, "sourceDesc")
+    source_bibl = SubElement(sourcedesc, "bibl")
+    sigle = ", ".join(filter(None, [getattr(m, "sitename", None), getattr(m, "date", None)]))
+    source_bibl.text = ", ".join(filter(None, [getattr(m, "title", None), sigle]))
+    _sub(sourcedesc, "bibl", sigle, type="sigle")
+
+    biblfull = SubElement(sourcedesc, "biblFull")
+    bib_titlestmt2 = SubElement(biblfull, "titleStmt")
+    _sub(bib_titlestmt2, "title", getattr(m, "title", None), type="main")
+    if getattr(m, "author", None):
+        _sub(bib_titlestmt2, "author", m.author)
+
+    publicationstmt = SubElement(biblfull, "publicationStmt")
+    _sub(publicationstmt, "publisher", publisher_string)
+    if getattr(m, "url", None):
+        _sub(publicationstmt, "ptr", None, type="URL", target=m.url)
+    _sub(publicationstmt, "date", getattr(m, "date", None))
+
+    profiledesc = SubElement(header, "profileDesc")
+    abstract = SubElement(profiledesc, "abstract")
+    _sub(abstract, "p", getattr(m, "description", None))
+
+    categories = getattr(m, "categories", None) or []
+    tags = getattr(m, "tags", None) or []
+    if categories or tags:
+        textclass = SubElement(profiledesc, "textClass")
+        keywords = SubElement(textclass, "keywords")
+        if categories:
+            _sub(keywords, "term", ",".join(categories), type="categories")
+        if tags:
+            _sub(keywords, "term", ",".join(tags), type="tags")
+
+    creation = SubElement(profiledesc, "creation")
+    _sub(creation, "date", getattr(m, "filedate", None), type="download")
+
+    encodingdesc = SubElement(header, "encodingDesc")
+    appinfo = SubElement(encodingdesc, "appInfo")
+    application = SubElement(appinfo, "application", {"version": "0.1.0", "ident": ENGINE_IDENT})
+    _sub(application, "label", ENGINE_IDENT)
+    _sub(application, "ptr", None, target=ENGINE_URL)
+
+    return header
+
+
+def _handle_unwanted_tails(element: Element) -> None:
+    "Move ab/p tail text into the element or a new sibling p (xml.py analog)."
+    tail = (element.tail or "").strip()
+    element.tail = None
+    if not tail:
+        return
+    if element.tag == "p":
+        element.text = f"{element.text} {tail}".strip() if element.text else tail
+    else:
+        sibling = Element("p")
+        sibling.text = tail
+        element.addnext(sibling)
+
+
+def _handle_text_content_of_div_nodes(element: Element) -> None:
+    "Wrap loose text in <div> within <p> (xml.py:760+ analog)."
+    if element.text and element.text.strip():
+        p = Element("p")
+        p.text = element.text
+        element.text = None
+        element.insert(0, p)
+    for child in list(element):
+        if child.tail and child.tail.strip():
+            p = Element("p")
+            p.text = child.tail
+            child.tail = None
+            child.addnext(p)
+
+
+def _tei_handle_complex_head(element: Element) -> Element:
+    "Flatten a head with children into a plain ab (approximation)."
+    new_elem = Element("ab", dict(element.attrib))
+    new_elem.text = " ".join(x for x in element.itertext() if x.strip()).strip() or None
+    new_elem.tail = element.tail
+    return new_elem
+
+
+def check_tei(xmldoc: Element) -> Element:
+    "Scrub remaining non-TEI tags/attributes (xml.py:742-796 analog)."
+    for elem in list(xmldoc.iterdescendants("head")):
+        elem.tag = "ab"
+        elem.set("type", "header")
+        parent = elem.getparent()
+        if parent is None:
+            continue
+        if len(elem) > 0:
+            new_elem = _tei_handle_complex_head(elem)
+            idx = parent.index(elem)
+            parent.remove(elem)
+            parent.insert(idx, new_elem)
+            elem = new_elem
+    bodies = [el for el in xmldoc.iterdescendants("body")]
+    for body in bodies:
+        for elem in list(body.iterdescendants()):
+            if elem.tag not in TEI_VALID_TAGS:
+                _merge_with_parent(elem)
+                continue
+            if elem.tag in TEI_REMOVE_TAIL:
+                _handle_unwanted_tails(elem)
+            elif elem.tag == "div":
+                _handle_text_content_of_div_nodes(elem)
+            for attribute in [a for a in elem.attrib if a not in TEI_VALID_ATTRS]:
+                elem.attrib.pop(attribute)
+    return xmldoc
+
+
+def build_tei_output(body: Element, commentsbody: Optional[Element], metadata) -> str:
+    "Full TEI document string (xml.py:215-240, 658-674)."
+    teidoc = Element("TEI", {"xmlns": "http://www.tei-c.org/ns/1.0"})
+    write_fullheader(teidoc, metadata)
+    textelem = SubElement(teidoc, "text")
+    textbody = SubElement(textelem, "body")
+    postbody = clean_attributes(body)
+    postbody.tag = "div"
+    postbody.set("type", "entry")
+    textbody.append(postbody)
+    comments = commentsbody if commentsbody is not None else Element("body")
+    comments = clean_attributes(comments)
+    comments.tag = "div"
+    comments.set("type", "comments")
+    textbody.append(comments)
+    check_tei(teidoc)
+    return tostring_xml(teidoc, pretty=True).strip()
