@@ -1,0 +1,77 @@
+"""Property-based robustness: the kernel must never crash and must hold
+its output invariants on arbitrary input."""
+
+import unicodedata
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trafilatura_spark.kernel import Options, bare_extract, extract
+from trafilatura_spark.kernel.dom import parse_html, strip_tags
+
+TAGS = ["p", "div", "span", "b", "ul", "li", "table", "tr", "td", "h2", "blockquote", "pre", "a", "br"]
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=80
+)
+
+
+@st.composite
+def html_fragment(draw, depth=0):
+    if depth > 3:
+        return draw(text_strategy)
+    n = draw(st.integers(0, 3))
+    parts = [draw(text_strategy)]
+    for _ in range(n):
+        tag = draw(st.sampled_from(TAGS))
+        inner = draw(html_fragment(depth=depth + 1))
+        if tag == "br":
+            parts.append("<br/>")
+        elif tag == "a":
+            parts.append(f'<a href="/x">{inner}</a>')
+        else:
+            parts.append(f"<{tag}>{inner}</{tag}>")
+        parts.append(draw(text_strategy))
+    return "".join(parts)
+
+
+@settings(max_examples=120, deadline=None)
+@given(html_fragment())
+def test_extract_never_crashes(fragment):
+    result = bare_extract(f"<html><body>{fragment}</body></html>")
+    assert result.tier is not None
+    if result.text is not None:
+        # NFC-normalized, no disallowed control characters
+        assert unicodedata.is_normalized("NFC", result.text)
+        assert "\x00" not in result.text
+
+
+@settings(max_examples=60, deadline=None)
+@given(html_fragment())
+def test_markdown_never_crashes(fragment):
+    out = extract(
+        f"<html><body>{fragment}</body></html>",
+        Options(format="markdown", formatting=True, min_extracted_size=0),
+    )
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(html_fragment())
+def test_strip_tags_preserves_text(fragment):
+    "Splicing inline wrappers must never lose character data."
+    tree = parse_html(f"<html><body><div>{fragment}</div></body></html>")
+    if tree is None:
+        return
+    before = tree.text_content()
+    strip_tags(tree, "span", "b", "a")
+    assert tree.text_content() == before
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_plain_text_roundtrip_or_none(raw):
+    "Arbitrary plain text either round-trips (whitespace-collapsed) or is discarded."
+    result = bare_extract(f"<html><body>{raw}</body></html>")
+    if result.text is not None:
+        assert result.text == result.text.strip()
