@@ -24,9 +24,14 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    "Exact duplicate groups: (text_hash, keep_id, dup_count), groups of 2+."
-    hashed = df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 0
+) -> DataFrame:
+    """Exact duplicate groups: (text_hash, keep_id, dup_count), groups of 2+.
+    ``prefix`` > 0 hashes only the first N chars (prefix dedup, the cheap
+    screen used before full-content hashing at scale)."""
+    content = F.substring(F.col(text_col), 1, prefix) if prefix else F.col(text_col)
+    hashed = df.select(F.md5(content).alias("text_hash"), F.col(id_col))
     return (
         hashed.groupBy("text_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
@@ -34,9 +39,12 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def exact_dedup_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+def exact_dedup_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", prefix: int = 0
+) -> str:
+    content = f"substring({text_col}, 1, {prefix})" if prefix else text_col
     return f"""
-    SELECT md5({text_col}) AS text_hash, MIN({id_col}) AS keep_id, COUNT(*) AS dup_count
+    SELECT md5({content}) AS text_hash, MIN({id_col}) AS keep_id, COUNT(*) AS dup_count
     FROM {table} GROUP BY 1 HAVING COUNT(*) > 1
     """
 

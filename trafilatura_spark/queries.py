@@ -320,6 +320,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Prefix-hash dedup screen (40-char prefixes; nonzero groups in testdata)."
+    return D.exact_dedup(_t(spark, sf_dir, "documents"), prefix=40)
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -466,6 +471,7 @@ SPARK_QUERIES = {
     "q_rollup_returns": q_rollup_returns,
     "q_events_funnel": q_events_funnel,
     "dedup_exact": dedup_exact,
+    "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -494,6 +500,7 @@ ORACLE_SQL = {
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
     "dedup_exact": D.exact_dedup_sql(),
+    "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
