@@ -72,7 +72,9 @@ def run_resumable_extraction(
     crash; the next call resumes from the manifest.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    bucketed = with_bucket(df, n_buckets)
+    # cache the bucketed input: every wave filters it, and without the cache
+    # each wave would recompute the full input lineage
+    bucketed = with_bucket(df, n_buckets).persist()
     done = completed_buckets(spark, output_path)
     todo = sorted(set(range(n_buckets)) - done)
 
@@ -84,7 +86,7 @@ def run_resumable_extraction(
             wave_df,
             options=options,
             passthrough_cols=["conv_id", "turn_idx", "part_bucket"],
-        )
+        ).persist()  # one extraction pass serves both the write and the metrics
         t0 = time.monotonic()
         # idempotent write: dynamic overwrite replaces exactly these buckets
         (
@@ -95,11 +97,8 @@ def run_resumable_extraction(
         elapsed = time.monotonic() - t0
 
         # lineage row per bucket with extraction metrics
-        written = spark.read.parquet(_data_path(output_path)).filter(
-            F.col("part_bucket").isin(wave)
-        )
         metrics = (
-            written.groupBy("part_bucket")
+            extracted.groupBy("part_bucket")
             .agg(
                 F.count(F.lit(1)).alias("n_turns"),
                 F.sum("chars_kept").alias("chars_kept"),
@@ -111,11 +110,13 @@ def run_resumable_extraction(
             .withColumn("wall_seconds", F.lit(round(elapsed, 3)))
         )
         metrics.write.mode("append").parquet(_manifest_path(output_path))
+        extracted.unpersist()
 
         waves_run += 1
         if fail_after_waves is not None and waves_run >= fail_after_waves:
             break
 
+    bucketed.unpersist()
     final_done = completed_buckets(spark, output_path)
     return {
         "n_buckets": n_buckets,
