@@ -131,22 +131,38 @@ class Element:
     # --- traversal -----------------------------------------------------------
     def iter(self, *tags: str) -> Iterator["Element"]:
         "Document-order traversal including self; optionally filtered by tag."
-        want = _tagfilter(tags)
-        stack = [self]
+        if not tags or tags == ("*",):
+            yield self
+            yield from self.iterdescendants()
+            return
+        tagset = frozenset(tags)
+        if self.tag in tagset:
+            yield self
+        stack = self._children[::-1]
         while stack:
             node = stack.pop()
-            if want(node.tag):
+            if node.tag in tagset:
                 yield node
-            stack.extend(reversed(node._children))
+            if node._children:
+                stack.extend(node._children[::-1])
 
     def iterdescendants(self, *tags: str) -> Iterator["Element"]:
-        want = _tagfilter(tags)
-        stack = list(reversed(self._children))
+        if not tags or tags == ("*",):
+            stack = self._children[::-1]
+            while stack:
+                node = stack.pop()
+                yield node
+                if node._children:
+                    stack.extend(node._children[::-1])
+            return
+        tagset = frozenset(tags)
+        stack = self._children[::-1]
         while stack:
             node = stack.pop()
-            if want(node.tag):
+            if node.tag in tagset:
                 yield node
-            stack.extend(reversed(node._children))
+            if node._children:
+                stack.extend(node._children[::-1])
 
     def iterancestors(self, *tags: str) -> Iterator["Element"]:
         want = _tagfilter(tags)
@@ -168,13 +184,25 @@ class Element:
                 yield s
 
     def itertext(self) -> Iterator[str]:
-        "All text content inside this element (text + descendant text/tails), doc order."
-        if self.text:
-            yield self.text
-        for child in self._children:
-            yield from child.itertext()
-            if child.tail:
-                yield child.tail
+        """All text content inside this element (text + descendant
+        text/tails), doc order.  Iterative mixed stack (str = emit,
+        Element = expand) — recursive generators pay O(depth) per item."""
+        stack: list = [self]
+        while stack:
+            item = stack.pop()
+            if item.__class__ is str:
+                yield item
+                continue
+            # a node expands to its text + (child, child-tail) sequence;
+            # the node's own tail is contributed by ITS parent's expansion
+            parts: list = []
+            if item.text:
+                parts.append(item.text)
+            for c in item._children:
+                parts.append(c)
+                if c.tail:
+                    parts.append(c.tail)
+            stack.extend(reversed(parts))
 
     def text_content(self) -> str:
         return "".join(self.itertext())
