@@ -79,3 +79,32 @@ def test_streaming_matches_batch(spark, small_df, tmp_path):
         for r in extract_transcripts(small_df, num_partitions=4).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_streaming_windowed_tier_metrics(spark, small_df, tmp_path):
+    "Watermarked windowed aggregation over the streaming extraction."
+    from trafilatura_spark.streaming.extract_stream import windowed_tier_metrics
+
+    input_dir = str(tmp_path / "win_in")
+    output_dir = str(tmp_path / "win_out")
+    checkpoint = str(tmp_path / "win_ckpt")
+    small_df.write.parquet(input_dir)
+
+    from trafilatura_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    metrics = windowed_tier_metrics(stream, window="10 minutes", watermark="5 minutes")
+    q = (
+        metrics.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(output_dir).collect()
+    assert rows, "windowed metrics should emit finalized windows"
+    tiers = {r.tier for r in rows}
+    assert "main" in tiers
+    assert all(r.n_turns > 0 for r in rows)

@@ -52,6 +52,32 @@ def extract_stream_df(stream_df: DataFrame, options: Options = DEFAULT_OPTIONS) 
     return stream_df.select("conv_id", "turn_idx", "text").mapInPandas(fn, schema=OUTPUT_SCHEMA)
 
 
+def windowed_tier_metrics(stream_df: DataFrame, options: Options = DEFAULT_OPTIONS,
+                          window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming pipeline metrics: per-event-time-window tier counts with
+    a watermark for late turns — the monitoring face of a continuous
+    extraction job (tier drift over ingestion time)."""
+    from pyspark.sql import functions as F
+
+    fn = make_extract_batch_fn(options, passthrough_cols=["conv_id", "turn_idx", "ts"])
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("ts", TimestampType(), True),
+            StructField("extracted_text", StringType(), True),
+            StructField("tier", StringType(), False),
+            StructField("chars_kept", IntegerType(), False),
+        ]
+    )
+    extracted = stream_df.select("conv_id", "turn_idx", "ts", "text").mapInPandas(fn, schema=schema)
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("tier"))
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum("chars_kept").alias("chars_kept"))
+    )
+
+
 def start_file_stream(
     spark: SparkSession,
     input_dir: str,
