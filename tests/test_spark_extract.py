@@ -78,3 +78,14 @@ def test_plan_shape(spark):
     out = extract_transcripts(df, num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "MapInArrow" in plan
+
+
+def test_timeout_guard():
+    "A pathological per-doc wall-clock overrun is labeled, not fatal."
+    from trafilatura_spark.operators.extract import extract_one
+    from trafilatura_spark.kernel import DEFAULT_OPTIONS
+
+    text = "<article>" + "".join(f"<p>Paragraph {i} text content here.</p>" for i in range(300)) + "</article>"
+    etext, tier, chars = extract_one(text, DEFAULT_OPTIONS, timeout=0.0)
+    assert tier == "timeout"
+    assert etext is not None and chars > 0  # result still delivered, flagged

@@ -402,6 +402,49 @@ def extract_transcript_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_transcripts(df).orderBy("conv_id", "turn_idx")
 
 
+_PAD = (
+    "This fixed padding paragraph keeps every generated page above the minimum extracted "
+    "size so the cascade stays in the main tier for all documents, exercising the heading "
+    "handler and the block newline policy of the serializer deterministically."
+)
+
+
+def extract_documents_article(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MULTI-BLOCK extraction: heading + two paragraphs +
+    fixed pad per document.  Long enough that every doc stays in the main
+    tier, so the expected output (heading line + newline-joined
+    paragraphs) is SQL-expressible — value-checks the candidate ladder,
+    the heading handler and the serializer's newline policy."""
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<article><h2>Doc "),
+            F.col("doc_id"),
+            F.lit("</h2><p>"),
+            F.col("text"),
+            F.lit("</p><p>"),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article>"),
+        ).alias("text"),
+    )
+    out = extract_transcripts(docs, num_partitions=32)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"), F.col("extracted_text"))
+
+
+EXTRACT_DOCS_ARTICLE_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(
+         'Doc ' || doc_id || chr(10)
+         || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+         || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' {_PAD}'
+       ) AS extracted_text
+FROM documents
+"""
+
+
 def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable metadata extraction: build a deterministic page
     (title + keywords meta) around each document, run the FULL metadata
@@ -483,6 +526,7 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "extract_documents_html": extract_documents_html,
+    "extract_documents_article": extract_documents_article,
     "extract_documents_metadata": extract_documents_metadata,
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
@@ -512,6 +556,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
     "extract_documents_html": EXTRACT_DOCS_SQL,
+    "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
     # non-SQL-expressible (full cascade); driver records rows-only checks
