@@ -37,6 +37,21 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 PAIR = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4,16")
 
+
+def _parse_pair(raw: str) -> tuple:
+    "Validate up front: a bad pair must not crash after the suite already ran."
+    try:
+        low, high = (int(x) for x in raw.split(","))
+        if 0 < low < high:
+            return low, high
+    except ValueError:
+        pass
+    sys.stderr.write(f"invalid SPARK_GRAFT_SCALING_PAIR {raw!r}, using 4,16\n")
+    return 4, 16
+
+
+SCALING_PAIR = _parse_pair(PAIR)
+
 _SF_GUESS = 0.1 if "0.1" in SF_DIR else 0.01 if "0.01" in SF_DIR else 0.001
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(45000 * _SF_GUESS)))))
 
@@ -186,8 +201,7 @@ def main() -> None:
     }
 
     if RUN_SCALING:
-        low, high = (int(x) for x in PAIR.split(","))
-        result["scaling"] = scaling_section(N_CONVS, low, high)
+        result["scaling"] = scaling_section(N_CONVS, *SCALING_PAIR)
         timings["extract_scaling_low"] = result["scaling"]["wall_low"]
         timings["extract_scaling_high"] = result["scaling"]["wall_high"]
 
