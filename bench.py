@@ -61,8 +61,10 @@ BENCH_QUERIES = [
     "q5_supplier_volume",
     "q_events_sessions",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_lsh_topk",
+    # dedup_ngram_jaccard (all-pairs) stays oracle-only: quadratic with sf.
+    # The bench measures the scale-path plan (LSH-prefiltered exact Jaccard).
+    "dedup_jaccard_via_lsh",
+    "ann_lsh_multitable_topk",
     "text_token_stats",
 ]
 

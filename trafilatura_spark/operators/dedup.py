@@ -151,8 +151,12 @@ def minhash_lsh_pairs(
         ).alias("bucket"),
     )
     # materialize before the self-join: otherwise the whole shingle/minhash
-    # lineage is recomputed once per join side
-    stacked = stacked.persist()
+    # lineage is recomputed once per join side.  localCheckpoint (eager)
+    # rather than persist(): checkpoint blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected, so repeated
+    # calls in a long-lived driver (bench, oracle gate) don't accumulate
+    # cached partitions the way an un-unpersisted .persist() does.
+    stacked = stacked.localCheckpoint(eager=True)
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (
@@ -208,11 +212,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # counts has one row per document — NEVER broadcast it (billions of
+    # rows at corpus scale); a plain shuffle join is the scale-safe shape
+    # and AQE may still choose broadcast at small inputs on its own.
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("ca"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("cb"))
     return (
-        common.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
         .withColumn("jac_raw", F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common")))
         .filter(F.col("jac_raw") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jac_raw"), 6).alias("jaccard"))
@@ -269,11 +276,12 @@ def ngram_jaccard_via_lsh(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # per-doc counts: shuffle join, not broadcast — see ngram_jaccard_pairs
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("ca"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("cb"))
     return (
-        common.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
         .withColumn("jac_raw", F.col("n_common") / (F.col("ca") + F.col("cb") - F.col("n_common")))
         .filter(F.col("jac_raw") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jac_raw"), 6).alias("jaccard"))
@@ -309,18 +317,26 @@ def ngram_jaccard_via_lsh_sql(
     """
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # match the kernel's 64-bit Simhash (kernel/fingerprint.py:56)
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
+def _bit_addend(j: int) -> int:
+    "Signed-long addend for bit j: bit 63 is the sign bit of the bigint."
+    return -(1 << 63) if j == 63 else 1 << j
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash: bit_j = sign of sum over tokens of +-1, where a
-    token votes +1 on bit j iff hex digit j of md5(token) is odd.
+    """64-bit SimHash as a signed long: bit_j = sign of sum over tokens of
+    +-1, where a token votes +1 on bit j iff hex digit j of the token's
+    64-hex-digit hash (md5(token) || md5('1:'||token)) is odd.
     (Charikar simhash with md5-derived projections; reference analog:
-    deduplication.py:86-149.)"""
+    deduplication.py:86-149 — the reference Simhash is also 64-bit.)"""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    tok = tok.withColumn("h", F.md5(F.col("token")))
+    tok = tok.withColumn(
+        "h", F.concat(F.md5(F.col("token")), F.md5(F.concat(F.lit("1:"), F.col("token"))))
+    )
     votes = [
         F.sum(
             F.when(F.substring(F.col("h"), j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
@@ -330,9 +346,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     agg = tok.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(_bit_addend(j))).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
-    return agg.select(F.col(id_col), sig.cast("int").alias("simhash"))
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
@@ -341,12 +357,83 @@ def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str 
         f"SUM(CASE WHEN substring(h, {j + 1}, 1) IN {in_list} THEN 1 ELSE -1 END) AS v_{j}"
         for j in range(SIMHASH_BITS)
     )
-    bits = " + ".join(f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN CAST({_bit_addend(j)} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""
-    WITH tok AS (
-      SELECT {id_col}, md5(unnest(string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' '))) AS h
+    WITH words AS (
+      SELECT {id_col}, unnest(string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' ')) AS token
       FROM {table}
     ),
+    tok AS (SELECT {id_col}, md5(token) || md5('1:' || token) AS h FROM words),
     agg AS (SELECT {id_col}, {votes} FROM tok GROUP BY {id_col})
-    SELECT {id_col}, CAST({bits} AS INT) AS simhash FROM agg
+    SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM agg
+    """
+
+
+SIMHASH_BANDS = 8  # 8-bit bands: pigeonhole guarantees candidates for hamming <= 7
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded LSH over the 64-bit signature.
+
+    Two signatures within hamming distance d share at least one identical
+    band when bands > d (pigeonhole), so the candidate join keys on band
+    value and only candidates pay the exact bit_count(xor) distance —
+    never an all-pairs comparison.  max_hamming must be < bands for the
+    banding to be exhaustive (asserted)."""
+    assert max_hamming < bands, "banding is only exhaustive for hamming < bands"
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col, text_col)
+    band_vals = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).cast("string"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*band_vals)).alias("band"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band")
+    return (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    bands: int = SIMHASH_BANDS,
+) -> str:
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"'{b}:' || CAST((simhash >> {b * width}) & {mask} AS VARCHAR)" for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({simhash_sql(table, id_col, text_col)}),
+    banded AS (
+      SELECT {id_col}, simhash, unnest([{band_exprs}]) AS band FROM sigs
+    )
+    SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM banded l JOIN banded r USING (band)
+    WHERE l.{id_col} < r.{id_col}
+      AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
     """

@@ -126,6 +126,111 @@ def lsh_topk(
     )
 
 
+MULTITABLE_TABLES = 4
+MULTITABLE_DIMS = 8
+
+
+def _table_bucket_expr(vec_col, t: int, dims: int):
+    "Sign-bit bucket for table t over dims [t*dims, (t+1)*dims)."
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = None
+    for d in range(dims):
+        bit = F.when(F.element_at(v, t * dims + d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return F.concat_ws(":", F.lit(str(t)), bucket.cast("string"))
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = MULTITABLE_TABLES,
+    dims_per_table: int = MULTITABLE_DIMS,
+) -> DataFrame:
+    """Multi-table sign-LSH top-k: ``n_tables`` independent hash tables,
+    table t keyed on the sign bits of dims [t*D, (t+1)*D).  Candidates are
+    the UNION of bucket-mates across tables (same banding pattern as
+    minhash LSH), so recall grows with tables while each table keeps
+    2^D buckets — the fix for the single-table variant's 256-bucket
+    ceiling (one table's bucket join approaches n^2/2^D at corpus scale;
+    more, narrower tables keep every bucket join small)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    buckets = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[_table_bucket_expr(vec_col, t, dims_per_table) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    left = buckets.select(F.col(id_col).alias("query_id"), "bucket")
+    right = buckets.select(F.col(id_col).alias("neighbor_id"), "bucket")
+    # candidate pairs first (ids only), deduped across tables, THEN one
+    # vector fetch per side — scoring never runs twice for a pair
+    candidates = (
+        left.join(right, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = vecs.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    nv = vecs.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        candidates.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_multitable_topk_sql(
+    table: str = "embeddings",
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = MULTITABLE_TABLES,
+    dims_per_table: int = MULTITABLE_DIMS,
+) -> str:
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"CASE WHEN {vec_col}[{t * dims_per_table + d + 1}] > 0 THEN {1 << d} ELSE 0 END"
+            for d in range(dims_per_table)
+        )
+        bucket_exprs.append(f"'{t}:' || CAST(({bits}) AS VARCHAR)")
+    buckets = ", ".join(bucket_exprs)
+    return f"""
+    WITH b AS (SELECT {id_col}, unnest([{buckets}]) AS bucket FROM {table}),
+    cand AS (
+      SELECT DISTINCT l.{id_col} AS query_id, r.{id_col} AS neighbor_id
+      FROM b l JOIN b r USING (bucket)
+      WHERE l.{id_col} <> r.{id_col}
+    ),
+    vecs AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.v, n.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+      FROM cand c
+      JOIN vecs q ON q.{id_col} = c.query_id
+      JOIN vecs n ON n.{id_col} = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_topk_sql(
     table: str = "embeddings", k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

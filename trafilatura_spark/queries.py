@@ -345,6 +345,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Banded 64-bit simhash near-dup pairs (testdata near-dups all land at hamming <= 7)."
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -363,6 +368,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_multitable_topk(_t(spark, sf_dir, "embeddings"))
 
 
 # --- extraction ------------------------------------------------------------------
@@ -483,12 +492,23 @@ FROM documents
 
 
 def extract_turn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    "Metadata struct per transcript turn (rows-only oracle: full ladder)."
+    """Metadata struct per transcript turn (rows-only oracle: full ladder).
+
+    The array-typed categories/tags columns are joined to strings: the
+    driver's canonicalizer sorts result columns through pandas, which
+    cannot factorize list cells (CORRECTNESS_r01 err), and a joined
+    string pins the same per-turn values anyway."""
     from .fixtures import transcripts_df
     from .operators.metadata_op import extract_metadata_columns
 
     df = transcripts_df(spark, 60, num_slices=8)
-    return extract_metadata_columns(df).orderBy("conv_id", "turn_idx")
+    out = extract_metadata_columns(df)
+    scalar_cols = [c for c in out.columns if c not in ("categories", "tags")]
+    return out.select(
+        *scalar_cols,
+        F.concat_ws(",", F.col("categories")).alias("categories_joined"),
+        F.concat_ws(",", F.col("tags")).alias("tags_joined"),
+    ).orderBy("conv_id", "turn_idx")
 
 
 def extract_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,11 +540,13 @@ SPARK_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multitable_topk": ann_lsh_multitable_topk,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
     "extract_documents_metadata": extract_documents_metadata,
@@ -550,11 +572,13 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
+    "dedup_simhash_pairs": D.simhash_pairs_sql(),
     "text_token_stats": T.token_stats_sql(),
     "text_lang_id": T.lang_id_sql(),
     "doc_fingerprint": T.fingerprint_sql(),
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
+    "ann_lsh_multitable_topk": S.lsh_multitable_topk_sql(),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
