@@ -108,3 +108,26 @@ def test_streaming_windowed_tier_metrics(spark, small_df, tmp_path):
     tiers = {r.tier for r in rows}
     assert "main" in tiers
     assert all(r.n_turns > 0 for r in rows)
+
+
+def test_empty_buckets_get_manifest_rows(spark, tmp_path):
+    """A bucket with zero input rows must still be marked done (zero-count
+    manifest row), or it re-runs on every resume and 'completed' can
+    never reach n_buckets."""
+    from trafilatura_spark.fixtures import transcripts_df
+    from trafilatura_spark.plans.lineage import read_manifest, run_resumable_extraction
+
+    tiny = transcripts_df(spark, 1, num_slices=1).limit(10)  # 10 turns, 32 buckets
+    out = str(tmp_path / "sparse")
+    n_buckets = 32
+    summary = run_resumable_extraction(spark, tiny, out, n_buckets=n_buckets, wave_size=16)
+    assert summary["completed"] == n_buckets
+    rows = read_manifest(spark, out).collect()
+    assert {r.part_bucket for r in rows} == set(range(n_buckets))
+    empties = [r for r in rows if r.n_turns == 0]
+    assert len(empties) >= n_buckets - 10, "10 turns cannot fill 32 buckets"
+    assert all(r.status == "done" for r in empties)
+
+    # a rerun resumes from a complete manifest: zero waves execute
+    summary2 = run_resumable_extraction(spark, tiny, out, n_buckets=n_buckets, wave_size=16)
+    assert summary2["resumed_from"] == n_buckets and summary2["waves_run"] == 0

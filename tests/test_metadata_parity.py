@@ -140,3 +140,74 @@ def test_description_itemprop():
 def test_license_cases(doc, expected):
     "metadata_tests.py:484-527"
     assert extract_metadata(doc).license == expected
+
+
+# --- htmldate-grade date ladder (reference delegates to htmldate at
+# metadata.py:523-525; ladder behavior pinned here) ---------------------------
+
+@pytest.mark.parametrize(
+    "doc,url,expected",
+    [
+        # meta vocabulary: published names win
+        ('<html><head><meta property="article:published_time" content="2023-11-07T09:00:00Z"/></head><body><p>x</p></body></html>',
+         None, "2023-11-07"),
+        ('<html><head><meta name="publish_date" content="2021-06-30"/></head><body><p>x</p></body></html>',
+         None, "2021-06-30"),
+        ('<html><head><meta itemprop="datecreated" content="2019-02-14"/></head><body><p>x</p></body></html>',
+         None, "2019-02-14"),
+        # published beats modified regardless of document order
+        ('<html><head><meta property="og:updated_time" content="2024-05-05"/>'
+         '<meta name="date" content="2024-01-02"/></head><body><p>x</p></body></html>',
+         None, "2024-01-02"),
+        # modified-only falls through to the modified rung
+        ('<html><head><meta property="article:modified_time" content="2022-09-01"/></head><body><p>x</p></body></html>',
+         None, "2022-09-01"),
+        # <time datetime>
+        ('<html><body><time datetime="2020-12-24T18:00">Christmas Eve</time><p>x</p></body></html>',
+         None, "2020-12-24"),
+        # abbr data-utime (unix timestamp, facebook-style)
+        ('<html><body><abbr data-utime="1577836800">Jan 2020</abbr><p>x</p></body></html>',
+         None, "2020-01-01"),
+        # date-classed span with German numeric format
+        ('<html><body><span class="entry-date">3.4.2018</span><p>x</p></body></html>',
+         None, "2018-04-03"),
+        # URL path: /YYYY/MM/DD/
+        ('<html><body><p>no date markup here at all</p></body></html>',
+         "https://example.com/blog/2017/08/09/post-title/", "2017-08-09"),
+        # URL compact YYYYMMDD
+        ('<html><body><p>no date markup here at all</p></body></html>',
+         "https://example.com/a/20160305/post", "2016-03-05"),
+        # URL year/month only -> first of month
+        ('<html><body><p>no date markup here at all</p></body></html>',
+         "https://example.com/2015/11/post-title", "2015-11-01"),
+        # free-text scan: 'Month D, YYYY' and 'D Month YYYY'
+        ('<html><body><p>Published on March 12, 2014 by the editorial team.</p></body></html>',
+         None, "2014-03-12"),
+        ('<html><body><p>Veröffentlicht am 7. Oktober 2013 in Berlin.</p></body></html>',
+         None, "2013-10-07"),
+        # copyright year is the last-resort rung
+        ('<html><body><p>plain text body</p><footer>© 2012 Example Corp</footer></body></html>',
+         None, "2012-01-01"),
+        # invalid/out-of-range dates are rejected
+        ('<html><head><meta name="date" content="1914-07-28"/></head><body><p>x</p></body></html>',
+         None, None),
+    ],
+)
+def test_find_date_ladder(doc, url, expected):
+    "htmldate ladder behavior: meta -> elements -> URL -> free text -> copyright"
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    tree = load_html(doc)
+    assert find_date(tree, url) == expected
+
+
+def test_find_date_via_extract_metadata():
+    from trafilatura_spark.kernel.metadata import extract_metadata
+
+    doc = (
+        '<html><head><title>T – S</title></head>'
+        '<body><p>Some article text here.</p></body></html>'
+    )
+    meta = extract_metadata(doc, "https://example.com/2018/03/04/slug")
+    assert meta.date == "2018-03-04"

@@ -94,3 +94,130 @@ def test_no_tables_option():
     out = extract(doc, opts)
     assert "cellcontent" not in out
     assert "Before table" in out
+
+
+# --- user pruning / blacklist job parameters (reference core.py:405-432) ----
+
+def test_prune_selectors_class_and_id():
+    "User pruning rules remove subtrees before the cascade (prune_xpath analog)."
+    opts = Options(min_extracted_size=0, prune_selectors=(".ad-unit", "#promo"))
+    doc = wrap(
+        '<article><p>Kept paragraph with enough words to survive the gates.</p>'
+        '<div class="ad-unit wide"><p>advertisement text should vanish</p></div>'
+        '<div id="promo"><p>promotional block should vanish too</p></div>'
+        "<p>Second kept paragraph rounds out the article body text.</p></article>"
+    )
+    out = extract(doc, opts)
+    assert "Kept paragraph" in out and "Second kept" in out
+    assert "advertisement" not in out and "promotional" not in out
+
+
+def test_prune_selectors_tag_rule():
+    opts = Options(min_extracted_size=0, prune_selectors=("blockquote",))
+    doc = wrap(
+        "<article><p>Narrative text stays in the extracted output here.</p>"
+        "<blockquote><p>quoted digression is pruned by the user rule</p></blockquote></article>"
+    )
+    out = extract(doc, opts)
+    assert "Narrative text" in out and "quoted digression" not in out
+
+
+def test_prune_selector_invalid_spec_raises():
+    import pytest
+
+    from trafilatura_spark.kernel.selectors import compile_user_selector
+
+    with pytest.raises(ValueError):
+        compile_user_selector("div > p")  # combinators unsupported
+
+
+def test_url_blacklist_discards_document():
+    from trafilatura_spark.kernel.extract import bare_extract
+
+    doc = wrap("<article><p>Body text that would normally extract fine.</p></article>")
+    opts = Options(min_extracted_size=0, url="https://spam.example/x",
+                   url_blacklist=frozenset({"https://spam.example/x"}))
+    res = bare_extract(doc, opts)
+    assert res.tier == "blacklisted_url" and res.text is None
+    ok = bare_extract(doc, opts.copy(url="https://ok.example/y"))
+    assert ok.text and "Body text" in ok.text
+
+
+def test_author_blacklist_filters_names():
+    from trafilatura_spark.kernel.metadata import check_authors, extract_metadata
+
+    assert check_authors("Jane Doe; John Smith", {"john smith"}) == "Jane Doe"
+    assert check_authors("John Smith", {"john smith"}) is None
+    doc = (
+        '<html><head><title>T – S</title>'
+        '<meta name="author" content="John Smith"/></head>'
+        "<body><p>text</p></body></html>"
+    )
+    meta = extract_metadata(doc, author_blacklist=frozenset({"john smith"}))
+    assert meta.author is None
+
+
+def test_only_with_metadata_gate():
+    bare = wrap("<article><p>Long enough body text for a normal extraction result.</p></article>")
+    opts = Options(min_extracted_size=0, only_with_metadata=True)
+    assert extract(bare, opts) is None  # no title/date/url metadata
+    full = (
+        '<html><head><title>Doc Title – Site</title>'
+        '<meta property="og:url" content="https://example.com/post"/>'
+        '<meta property="article:published_time" content="2024-03-05"/></head>'
+        "<body><article><p>Long enough body text for a normal extraction result.</p></article></body></html>"
+    )
+    assert extract(full, opts) is not None
+
+
+# --- justext stoplist coverage (reference external.py:124-131 merges ALL
+# justext language stoplists; rounds 1-2 ship built-in lists) -----------------
+
+def test_justext_classifies_non_western_language():
+    """Polish and Russian paragraphs must classify as GOOD via stopword
+    density — they only can if the merged stoplist covers the language."""
+    from trafilatura_spark.kernel.dom import Element
+    from trafilatura_spark.kernel.justext import MERGED_STOPLIST, custom_justext
+    from trafilatura_spark.kernel.loader import load_html
+
+    pl = (
+        "To jest bardzo długi akapit który ma wiele słów i jest napisany po polsku "
+        "ponieważ chcemy sprawdzić czy nasze listy słów funkcyjnych działają dobrze "
+        "dla tego języka oraz że klasyfikator potrafi uznać taki tekst za dobry "
+        "kiedy gęstość słów funkcyjnych jest wystarczająco wysoka dla tej próby."
+    )
+    ru = (
+        "Это очень длинный абзац на русском языке потому что мы хотим проверить "
+        "что наши списки служебных слов работают для этого языка и что классификатор "
+        "может признать такой текст хорошим когда плотность служебных слов достаточно "
+        "высока и в нем есть все нужные слова для этой проверки классификации."
+    )
+    for text in (pl, ru):
+        tree = load_html(f"<html><body><div><p>{text}</p><p>{text}</p></div></body></html>")
+        paragraphs = custom_justext(tree)
+        assert any(p.class_ == "good" for p in paragraphs), text[:40]
+
+
+def test_justext_stopword_coverage_extended_languages():
+    from trafilatura_spark.kernel.justext import MERGED_STOPLIST
+
+    for probe in ("się", "että", "hogy", "și", "için", "yang", "что", "att", "ikke", "podle"):
+        assert probe in MERGED_STOPLIST, probe
+
+
+def test_classify_language_extended_coverage():
+    "17-language function-word classifier (py3langid stand-in, round 2)."
+    from trafilatura_spark.kernel.langid import classify_language
+
+    samples = {
+        "pl": "To jest bardzo dobre ale nie może być tak że tylko jego przez te lata",
+        "ru": "Это не так как он и мы но они за что по от так было она",
+        "tr": "Bu bir şey için çok daha iyi ile ama değil sonra kadar her onun gibi",
+        "fi": "Ja on ei että oli hän mutta kun niin kuin myös sitä tai vain joka",
+        "sv": "Och att det som är av inte med till den ett han har var vid från",
+        "it": "Il che di non per sono della questo anche più gli nel alla hanno",
+        "id": "Yang dan di itu dengan untuk tidak ini dari dalam akan pada juga mereka",
+    }
+    for lang, text in samples.items():
+        assert classify_language(text) == lang, (lang, classify_language(text))
+    assert classify_language("zzz qqq xxx") is None  # unknown stays unknown

@@ -80,12 +80,31 @@ def test_plan_shape(spark):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan or "MapInArrow" in plan
 
 
-def test_timeout_guard():
-    "A pathological per-doc wall-clock overrun is labeled, not fatal."
+def test_timeout_guard_preemptive():
+    """A pathological document is ABORTED in bounded wall time (the
+    reference's 30 s/file kill yields no output), not merely labeled."""
+    import time
+
     from trafilatura_spark.operators.extract import extract_one
     from trafilatura_spark.kernel import DEFAULT_OPTIONS
 
+    # expired deadline: first checkpoint fires, nothing is extracted
     text = "<article>" + "".join(f"<p>Paragraph {i} text content here.</p>" for i in range(300)) + "</article>"
     etext, tier, chars = extract_one(text, DEFAULT_OPTIONS, timeout=0.0)
     assert tier == "timeout"
-    assert etext is not None and chars > 0  # result still delivered, flagged
+    assert etext is None and chars == 0
+
+    # slow doc (thousands of elements through the full cascade takes
+    # seconds): a 50 ms deadline must abort it in well under a second
+    slow = "<div>" + "".join(
+        f"<div class=\"c{i}\"><p>Short {i}</p><span>x</span></div>" for i in range(4000)
+    ) + "</div>"
+    t0 = time.monotonic()
+    etext, tier, chars = extract_one(slow, DEFAULT_OPTIONS, timeout=0.05)
+    wall = time.monotonic() - t0
+    assert tier == "timeout"
+    assert wall < 1.0, f"preemption took {wall:.2f}s"
+
+    # and without a deadline the same doc completes normally
+    etext2, tier2, chars2 = extract_one(slow, DEFAULT_OPTIONS, timeout=None)
+    assert tier2 != "timeout" and etext2

@@ -29,7 +29,9 @@ from .settings import (
     ESCALATION_PAGE_SHARE,
     JUSTEXT_OVERRIDE_RATIO,
     DEFAULT_OPTIONS,
+    ExtractionTimeout,
     Options,
+    check_deadline,
 )
 from .textutils import normalize_unicode, trim
 
@@ -159,6 +161,7 @@ def _compare_extraction(
 
         raw_tree = prune_unwanted_nodes(raw_tree, overall_discard_matches(raw_tree))
 
+    check_deadline(options)  # stage boundary: before the readability pass
     temppost_algo = try_readability(raw_tree)
     algo_text = trim(temppost_algo.text_content())
     len_algo = len(algo_text)
@@ -169,6 +172,7 @@ def _compare_extraction(
         tier[0] = "readability"
 
     if any(el.tag in _SANITIZED_TAGS for el in body.iterdescendants()) or len_text < options.min_extracted_size:
+        check_deadline(options)  # stage boundary: before the justext pass
         body2, text2, len_text2 = _justext_rescue(cleaned_tree, options)
         if text2 and len_text <= JUSTEXT_OVERRIDE_RATIO * len_text2:
             body, text, len_text = body2, text2, len_text2
@@ -215,16 +219,19 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
         cleaned_tree = prune_unwanted_nodes(cleaned_tree, [remove_comments_matches(cleaned_tree)])
 
     # 1. main extractor
+    check_deadline(options)
     postbody, temp_text, len_text = extract_content(cleaned_tree, options)
 
     # 2. external comparison
     if not options.fast:
+        check_deadline(options)
         postbody, temp_text, len_text = _compare_extraction(
             cleaned_tree_backup, tree.copy_tree(), postbody, temp_text, len_text, options, tier
         )
 
     # 3. baseline rescue
     if len_text < options.min_extracted_size and options.focus != "precision":
+        check_deadline(options)
         postbody, temp_text, len_text = baseline(tree)
         tier[0] = "baseline"
         forum_posts = None
@@ -244,14 +251,20 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
         r_len = 0
         r_body, r_text = None, ""
         try:
+            check_deadline(options)
             r_body, r_text, r_len = _recall_retry(esc_tree, r_options, url, tier)
+        except ExtractionTimeout:
+            raise  # a deadline miss must abort the document, not this stage
         except Exception:
             pass
         j_len = 0
         j_body, j_text = None, ""
         if not options.fast:
             try:
+                check_deadline(options)
                 j_body, j_text, j_len = _justext_rescue(esc_tree.copy_tree(), options)
+            except ExtractionTimeout:
+                raise
             except Exception:
                 pass
 
@@ -275,10 +288,24 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
 
 def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> ExtractionResult:
     "Per-document extraction with gates (core.py:290-491), returning text + tier."
+    # per-job URL blacklist (reference core.py:405-409: blacklisted
+    # documents are discarded before any parsing work)
+    if options.url_blacklist and options.url in options.url_blacklist:
+        return ExtractionResult(None, "blacklisted_url", 0, 0)
     try:
         tree = load_html(filecontent)
         if tree is None:
             return ExtractionResult(None, "unparseable", 0, 0)
+        check_deadline(options)
+
+        # user pruning rules (reference prune_xpath, core.py:429-432):
+        # subtrees removed before the cascade sees the document
+        if options.prune_selectors:
+            from .selectors import compile_user_selector
+
+            tree = prune_unwanted_nodes(
+                tree, [compile_user_selector(s) for s in options.prune_selectors]
+            )
 
         (
             postbody,
@@ -311,6 +338,10 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
 
             if language_filter(temp_text, temp_comments, options.lang):
                 return ExtractionResult(None, "wrong_language", 0, 0)
+    except ExtractionTimeout:
+        # preemptive per-document bound: the reference's 30 s/file kill
+        # yields no output for the document (cli_utils.py:431-437)
+        return ExtractionResult(None, "timeout", 0, 0)
     except (TypeError, ValueError):
         return ExtractionResult(None, "error", 0, 0)
 
@@ -326,6 +357,14 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
     string; csv/json/html/xml formats serialize via the format
     dispatcher (core.py:494-588, 78-132)."""
     result = bare_extract(filecontent, options)
+    # metadata completeness gate (reference core.py:405-422): with
+    # only_with_metadata, documents lacking url+title+date are discarded
+    if options.only_with_metadata and result.text is not None:
+        from .metadata import extract_metadata as _xm
+
+        meta_gate = _xm(filecontent, options.url, options.author_blacklist)
+        if not (meta_gate.url and meta_gate.title and meta_gate.date):
+            return None
     if result.text is None or options.format in ("txt", "markdown"):
         return result.text
     from .formats import determine_returnstring
@@ -333,7 +372,7 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
 
     metadata = None
     if getattr(options, "with_metadata", False):
-        metadata = extract_metadata(filecontent, options.url)
+        metadata = extract_metadata(filecontent, options.url, options.author_blacklist)
         from .fingerprint import content_fingerprint
 
         metadata.fingerprint = content_fingerprint(  # type: ignore[attr-defined]

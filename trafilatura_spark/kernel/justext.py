@@ -62,7 +62,44 @@ de het een en van ik te dat die in je hij zijn is was op aan met als voor had er
 zou of wat mijn men dit zo door over ze zich bij ook tot uit naar heeft hebben deze niet nog zal
 toen nu haar daar onder tegen na reeds wel waar wordt
 """.split()
-MERGED_STOPLIST = frozenset(w.lower() for w in _STOPWORDS)
+
+# round 2: next tier of justext languages (the reference merges ALL
+# justext stoplists into one set, external.py:124-131; these are
+# high-frequency function words for pl/cs/sv/da/no/fi/hu/ro/tr/id/ru)
+_STOPWORDS_EXT = """
+i w się na nie z że do to jest jak po co tak o ale jego za od przez już tylko czy ich może być
+przy bardzo są było dla której kiedy go tym mnie jestem będzie nawet ją tego jednak sobie temu
+można gdy nas takie wszystko jeszcze oraz który została przede wszystkim
+a se na je v že s z k ale i pro tak po co když už jen podle další jeho bude nebo byl být má
+při také za před mezi která které který aby však ještě až bylo byla můžete této od není jsou
+jsme tím jako o do
+och i att det som en på är av för med till den har de inte om ett han men var jag sig från vi
+så kan man när år under också ut efter skulle sina mot där eller vad hade honom bara blir
+mycket nu över sin vid kommer
+og i at det er en til de som på med han af for ikke der var mig sig men et har om vi min havde
+ham hun nu over da fra du ud sin dem os op man hans hvor eller hvad skal selv her alle vil blev
+kunne ind når være
+å være ble eller hva meg noe hadde ikkje etter også
+ja on ei se että oli hän ovat mutta olen sen kun niin kuin myös jo hänen sitä tai vain joka
+mitä minä me he tässä tämä ole kanssa mukaan jos nyt vielä voi kaikki siitä ollut olla sekä
+näin koska jonka heidän
+a az és hogy nem is egy ez volt de meg csak már el vagy ha mint még azt aki ki mert úgy nagyon
+lehet ezt olyan amikor vele ami után lesz kell pedig ők én te ti azok ezek minden sok más jól
+itt ott
+și de a în la cu pe că este nu o un se din mai sau dacă care pentru sunt fost lui ei el ea noi
+dar după când avea acest această fără între prin unde cum toate fiecare acum foarte apoi doar
+două fel ceva fie
+bir ve bu da ne için çok ile daha o ben sen biz siz onlar ama gibi en az var yok değil ki diye
+sonra kadar her şey onun bana beni benim sana seni ancak veya hem ise olarak olan oldu olduğu
+üzere göre karşı bütün
+yang dan di itu dengan untuk tidak ini dari dalam akan pada juga saya kita ke ada mereka dia
+anda bisa oleh telah sudah atau seperti karena jika saat harus bagi tentang lebih satu dua
+bahwa tersebut namun masih setelah hanya para kami
+и в не на я что он с как это по но они мы она к у же вы за бы от то все так его было ее мне
+есть был для о еще нет них кто при да когда даже ну если или него вот только уже меня
+""".split()
+
+MERGED_STOPLIST = frozenset(w.lower() for w in _STOPWORDS + _STOPWORDS_EXT)
 
 
 class Paragraph:

@@ -605,51 +605,216 @@ def extract_license(tree: Element) -> Optional[str]:
 
 # --- date (lightweight htmldate stand-in) ------------------------------------
 
+# htmldate-grade date finding.  The reference delegates to the htmldate
+# package (reference metadata.py:19,523-525); these heuristics mirror
+# htmldate's documented ladder (meta vocabulary -> date-bearing elements
+# -> URL patterns -> free-text scan -> copyright year) without the
+# dependency.  Date-name vocabulary follows htmldate's published
+# DATE_ATTRIBUTES set (publication variants first; modified-date names
+# are accepted only as a later rung, matching original_date=True).
 _DATE_META_NAMES = {
     "article:published_time", "og:article:published_time", "datepublished",
-    "article.published", "date", "dc.date", "dc.date.issued", "dcterms.date",
-    "sailthru.date", "pubdate", "publishdate", "publish-date", "parsely-pub-date",
+    "article.published", "article.created", "article_date_original",
+    "article:post_date", "created", "date", "date_published", "datecreated",
+    "dc.date", "dc.date.created", "dc.date.issued", "dcterms.date",
+    "dcterms.created", "displaydate", "gentime", "originalpublicationdate",
+    "parsely-pub-date", "pubdate", "publishdate", "publish-date", "publish_date",
+    "published-date", "published_time", "publication_date", "release_date",
+    "rnews:datepublished", "sailthru.date", "timestamp", "og:published_time",
+    "cxenseparse:recs:publishtime", "dc.dcterms.issued", "be:pubdate",
 }
-_ISO_DATE_RE = re.compile(r"(\d{4})-(\d{2})-(\d{2})")
-_URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})/")
+_DATE_MODIFIED_META_NAMES = {
+    "article:modified_time", "og:article:modified_time", "datemodified",
+    "dc.date.modified", "dcterms.modified", "last-modified", "lastmod",
+    "og:updated_time", "revised", "updated_time",
+}
+_ISO_DATE_RE = re.compile(r"(\d{4})[-/](\d{1,2})[-/](\d{1,2})")
+_COMPACT_DATE_RE = re.compile(r"\b(\d{4})(\d{2})(\d{2})\b")
+_DMY_DOT_RE = re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
+_MDY_SLASH_RE = re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
+_MONTHS = {
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12, "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7,
+    "aug": 8, "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
+    # German month names (htmldate covers German-language pages)
+    "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "mai": 5, "juni": 6,
+    "juli": 7, "oktober": 10, "dezember": 12,
+}
+_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+_TEXT_DMY_RE = re.compile(rf"\b(\d{{1,2}})\.?(?:st|nd|rd|th)?\s+({_MONTH_ALT})\.?,?\s+(\d{{4}})\b", re.I)
+_TEXT_MDY_RE = re.compile(rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b", re.I)
+_URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:[/.-]|$)")
+_URL_ISO_RE = re.compile(r"[/-](\d{4})-(\d{1,2})-(\d{1,2})(?:[/.-]|$)")
+_URL_YM_RE = re.compile(r"/(\d{4})/(\d{1,2})(?:/|$)")
+_COPYRIGHT_RE = re.compile(r"(?:©|&copy;|copyright\s*(?:©)?)\s*(?:\d{4}\s*[-–]\s*)?(\d{4})", re.I)
+_DATEISH_ATTR_RE = re.compile(
+    r"post-?date|post-?meta|entry-?date|article-?date|published|pubdate|"
+    r"date-?published|datetime|submitted|timestamp|\bdate\b|datum|fecha",
+    re.I,
+)
+
+MIN_DATE_YEAR, MAX_DATE_YEAR = 1995, 2040
 
 
-def _normalize_date(value: str) -> Optional[str]:
-    match = _ISO_DATE_RE.search(value)
-    if match:
-        y, m, d = int(match[1]), int(match[2]), int(match[3])
-        if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
-            return f"{y:04d}-{m:02d}-{d:02d}"
+def _valid_date(y: int, m: int, d: int) -> Optional[str]:
+    if MIN_DATE_YEAR <= y <= MAX_DATE_YEAR and 1 <= m <= 12 and 1 <= d <= 31:
+        return f"{y:04d}-{m:02d}-{d:02d}"
     return None
 
 
-def find_date(tree: Element, url: Optional[str] = None) -> Optional[str]:
-    """Heuristic publication-date finder (stand-in for the htmldate
-    dependency, which is unavailable here): meta tags -> <time datetime>
-    -> URL path pattern."""
-    for elem in _head_metas(tree):
-        attrtype = (elem.get("name") or elem.get("property") or elem.get("itemprop") or "").lower()
-        if attrtype in _DATE_META_NAMES and elem.get("content"):
-            result = _normalize_date(elem.get("content", ""))
+def _normalize_date(value: str) -> Optional[str]:
+    """Parse a date expression to YYYY-MM-DD: ISO first, then compact
+    YYYYMMDD, German DD.MM.YYYY, US MM/DD/YYYY (day-position fallback),
+    then textual '12 March 2024' / 'March 12, 2024' (htmldate
+    custom_parse / external-parser ordering)."""
+    match = _ISO_DATE_RE.search(value)
+    if match:
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        if result:
+            return result
+    match = _COMPACT_DATE_RE.search(value)
+    if match:
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        if result:
+            return result
+    match = _DMY_DOT_RE.search(value)
+    if match:
+        d, m, y = int(match[1]), int(match[2]), int(match[3])
+        result = _valid_date(y, m, d)
+        if result:
+            return result
+    match = _MDY_SLASH_RE.search(value)
+    if match:
+        m, d, y = int(match[1]), int(match[2]), int(match[3])
+        if m > 12 >= d:  # cannot be a month first: read as DD/MM/YYYY
+            m, d = d, m
+        result = _valid_date(y, m, d)
+        if result:
+            return result
+    match = _TEXT_DMY_RE.search(value)
+    if match:
+        result = _valid_date(int(match[3]), _MONTHS[match[2].lower()], int(match[1]))
+        if result:
+            return result
+    match = _TEXT_MDY_RE.search(value)
+    if match:
+        result = _valid_date(int(match[3]), _MONTHS[match[1].lower()], int(match[2]))
+        if result:
+            return result
+    return None
+
+
+def _url_date(url: str) -> Optional[str]:
+    "URL path date patterns (htmldate extract_url_date / img_pattern)."
+    for pat in (_URL_DATE_RE, _URL_ISO_RE):
+        match = pat.search(url)
+        if match:
+            result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
             if result:
                 return result
+    match = _COMPACT_DATE_RE.search(url)
+    if match:
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        if result:
+            return result
+    match = _URL_YM_RE.search(url)
+    if match:
+        return _valid_date(int(match[1]), int(match[2]), 1)
+    return None
+
+
+def find_date(tree: Element, url: Optional[str] = None, extensive: bool = True) -> Optional[str]:
+    """Publication-date ladder standing in for htmldate (the reference
+    delegates at metadata.py:523-525): published meta names -> <time>/
+    date-attributed elements -> date-classed element text -> URL
+    patterns -> modified meta names -> free-text scan -> copyright year."""
+    # 1. meta vocabulary, publication names first
+    modified_candidate = None
+    for elem in _head_metas(tree):
+        attrtype = (elem.get("name") or elem.get("property") or elem.get("itemprop") or "").lower()
+        content = elem.get("content") or ""
+        if not content:
+            continue
+        if attrtype in _DATE_META_NAMES:
+            result = _normalize_date(content)
+            if result:
+                return result
+        elif attrtype in _DATE_MODIFIED_META_NAMES and modified_candidate is None:
+            modified_candidate = _normalize_date(content)
+    # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
     for time_el in tree.iterdescendants("time"):
-        for candidate in (time_el.get("datetime"), time_el.text_content()):
+        for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
             if candidate:
                 result = _normalize_date(candidate)
                 if result:
                     return result
+    for abbr in tree.iterdescendants("abbr"):
+        utime = abbr.get("data-utime")
+        if utime and utime.isdigit():
+            try:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromtimestamp(int(utime), tz=timezone.utc)
+                result = _valid_date(dt.year, dt.month, dt.day)
+                if result:
+                    return result
+            except (OverflowError, OSError, ValueError):
+                pass
+        title = abbr.get("title")
+        if title:
+            result = _normalize_date(title)
+            if result:
+                return result
+    # 3. date-classed/-id'd element text and data-* attributes
+    for el in tree.iterdescendants("span", "div", "p", "li", "em", "strong", "font"):
+        hint = f"{el.get('class') or ''} {el.get('id') or ''} {el.get('itemprop') or ''}"
+        if not _DATEISH_ATTR_RE.search(hint):
+            continue
+        for candidate in (el.get("data-date"), el.get("datetime"), el.get("content"), el.text_content()[:120]):
+            if candidate:
+                result = _normalize_date(candidate)
+                if result:
+                    return result
+    # 4. URL path patterns
     if url:
-        match = _URL_DATE_RE.search(url)
+        result = _url_date(url)
+        if result:
+            return result
+    # 5. modified-date meta (weaker than any published signal above)
+    if modified_candidate:
+        return modified_candidate
+    if not extensive:
+        return None
+    # 6. free-text scan over the rendered text (bounded)
+    text = tree.text_content()[:100_000]
+    for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
+        match = pat.search(text)
         if match:
-            y, m, d = int(match[1]), int(match[2]), int(match[3])
-            if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
-                return f"{y:04d}-{m:02d}-{d:02d}"
+            result = _normalize_date(match.group(0))
+            if result:
+                return result
+    # 7. copyright year, the last-resort rung (day/month default to Jan 1)
+    match = _COPYRIGHT_RE.search(text)
+    if match:
+        return _valid_date(int(match[1]), 1, 1)
     return None
 
 
-def extract_metadata(filecontent, default_url: Optional[str] = None) -> Metadata:
-    "Orchestrator (metadata.py:458-563)."
+def check_authors(author: Optional[str], author_blacklist) -> Optional[str]:
+    """Drop blacklisted names from a '; '-joined author string (reference
+    metadata.py check_authors): returns the surviving names or None."""
+    if not author:
+        return None
+    blacklist = {a.lower() for a in author_blacklist}
+    surviving = [a for a in author.split("; ") if a.strip().lower() not in blacklist]
+    return "; ".join(surviving) or None
+
+
+def extract_metadata(
+    filecontent, default_url: Optional[str] = None, author_blacklist=frozenset()
+) -> Metadata:
+    "Orchestrator (metadata.py:458-563; author_blacklist as in :471-474)."
     tree = load_html(filecontent)
     if tree is None:
         return Metadata()
@@ -665,8 +830,12 @@ def extract_metadata(filecontent, default_url: Optional[str] = None) -> Metadata
 
     if not metadata.title:
         metadata.title = extract_title(tree)
+    if author_blacklist:
+        metadata.author = check_authors(metadata.author, author_blacklist)
     if not metadata.author:
         metadata.author = extract_author(tree)
+    if author_blacklist:
+        metadata.author = check_authors(metadata.author, author_blacklist)
     if not metadata.url:
         metadata.url = extract_url(tree, default_url)
     if metadata.url:

@@ -13,6 +13,7 @@ node-set takes the first node), see xpaths.py:209-211.
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 from typing import Callable, Iterable, Optional
 
 from .dom import Element
@@ -341,3 +342,32 @@ def basic_clean_matches(tree: Element) -> list[Element]:
         elif _COOKIE_CONSENT_RE.search(_fa(el, "class")) or _COOKIE_CONSENT_RE.search(_fa(el, "id")):
             out.append(el)
     return out
+
+
+# --- user pruning selectors (reference prune_xpath, core.py:429-432) ---------
+
+_USER_SELECTOR_RE = re.compile(r"^([a-zA-Z][\w-]*)?(?:([.#])([\w-]+))?$")
+
+
+@_lru_cache(maxsize=256)  # one compile per spec per worker, not per document
+def compile_user_selector(spec: str) -> Callable:
+    """Compile a user pruning rule into a (tree) -> list[Element] matcher.
+
+    Mini-syntax: 'tag', '.class', '#id', 'tag.class', 'tag#id' — the
+    kernel-DOM stand-in for the reference's user prune_xpath parameter
+    (core.py:429-432; lxml XPath is unavailable here).  Class rules match
+    a whole whitespace-separated class token, id rules match exactly."""
+    m = _USER_SELECTOR_RE.match(spec.strip())
+    if not m or not (m.group(1) or m.group(3)):
+        raise ValueError(f"unsupported prune selector: {spec!r}")
+    tag, kind, name = m.group(1), m.group(2), m.group(3)
+
+    def matcher(tree: Element) -> list[Element]:
+        it = tree.iterdescendants(tag) if tag else tree.iterdescendants()
+        if kind == ".":
+            return [el for el in it if name in (el.get("class") or "").split()]
+        if kind == "#":
+            return [el for el in it if el.get("id") == name]
+        return list(it)
+
+    return matcher

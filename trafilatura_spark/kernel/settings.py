@@ -9,8 +9,23 @@ links/images/formatting off (core.py:494-520).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field, replace
 from typing import Optional
+
+
+class ExtractionTimeout(Exception):
+    """Per-document deadline exceeded.  The PREEMPTIVE analog of the
+    reference CLI's hard 30 s/file process kill (settings.cfg:37,
+    cli_utils.py:431-437): checked cooperatively at cascade stage
+    boundaries and inside element loops, so a pathological document
+    cannot stall an executor core."""
+
+
+def check_deadline(options: "Options") -> None:
+    "Raise ExtractionTimeout if the per-document deadline has passed."
+    if options.deadline is not None and time.monotonic() > options.deadline:
+        raise ExtractionTimeout
 
 
 @dataclass
@@ -38,6 +53,18 @@ class Options:
     max_file_size: int = 20_000_000
     min_file_size: int = 10
     max_tree_size: Optional[int] = None
+    # per-document monotonic deadline (set per doc by the Spark operator;
+    # None = unbounded, reference default is 30 s via process kill)
+    deadline: Optional[float] = None
+    # user pruning / filter job parameters (reference core.py:405-432:
+    # prune_xpath, url_blacklist, author_blacklist, only_with_metadata).
+    # prune_selectors uses the kernel's selector mini-syntax ('tag',
+    # '.class', '#id', 'tag.class', 'tag#id') since the DOM has no XPath
+    # engine; semantics match prune_xpath (subtrees removed pre-extraction).
+    prune_selectors: tuple = ()
+    url_blacklist: frozenset = frozenset()
+    author_blacklist: frozenset = frozenset()
+    only_with_metadata: bool = False
 
     def copy(self, **kw) -> "Options":
         return replace(self, **kw)

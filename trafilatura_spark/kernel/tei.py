@@ -193,3 +193,101 @@ def build_tei_output(body: Element, commentsbody: Optional[Element], metadata) -
     textbody.append(comments)
     check_tei(teidoc)
     return tostring_xml(teidoc, pretty=True).strip()
+
+
+# --- structural TEI validation (stand-in for DTD validation) -----------------
+
+# Content models for the TEI P5 subset this serializer emits, transcribed
+# from the tei_corpus DTD the reference validates against
+# (reference xml.py:284-297, data/tei_corpus.dtd).  lxml's DTD engine is
+# unavailable here, so validation is structural: allowed children,
+# text-forbidden elements, allowed attributes, required skeleton.
+_TEI_INLINE = {"hi", "ref", "del", "code", "lb", "graphic"}
+_TEI_BLOCK = {"div", "head", "p", "list", "table", "quote", "ab", "lb", "graphic", "code"}
+_TEI_CHILD_MODEL = {
+    "TEI": {"teiHeader", "text"},
+    "teiHeader": {"fileDesc", "profileDesc", "encodingDesc"},
+    "fileDesc": {"titleStmt", "publicationStmt", "notesStmt", "sourceDesc"},
+    "titleStmt": {"title", "author"},
+    "publicationStmt": {"publisher", "availability", "p", "ptr", "date"},
+    "availability": {"p", "licence"},
+    "notesStmt": {"note"},
+    "sourceDesc": {"bibl", "biblFull", "p"},
+    "biblFull": {"titleStmt", "publicationStmt"},
+    "profileDesc": {"abstract", "textClass", "creation"},
+    "abstract": {"p"},
+    "textClass": {"keywords"},
+    "keywords": {"term"},
+    "creation": {"date"},
+    "encodingDesc": {"appInfo"},
+    "appInfo": {"application"},
+    "application": {"label", "ptr"},
+    "text": {"body"},
+    "body": _TEI_BLOCK,
+    "div": _TEI_BLOCK,
+    "p": _TEI_INLINE,
+    "head": _TEI_INLINE,
+    "ab": _TEI_INLINE,
+    "quote": _TEI_INLINE | {"p"},
+    "item": _TEI_INLINE | {"list", "p"},
+    "cell": _TEI_INLINE | {"p", "list"},
+    "list": {"head", "item"},
+    "table": {"head", "row"},
+    "row": {"cell"},
+    "hi": _TEI_INLINE,
+    "ref": _TEI_INLINE - {"ref"},
+    "del": _TEI_INLINE,
+    "code": {"lb"},
+}
+_TEI_NO_TEXT = {
+    "TEI", "teiHeader", "fileDesc", "titleStmt", "publicationStmt", "notesStmt",
+    "sourceDesc", "biblFull", "profileDesc", "textClass", "keywords", "creation",
+    "encodingDesc", "appInfo", "application", "availability",
+    "text", "body", "list", "table", "row",
+}
+_TEI_HEADER_ATTRS = {"type", "target", "version", "ident", "xmlns"}
+
+
+def validate_tei(teidoc: Element) -> tuple:
+    """Structural TEI validation: returns (is_valid, errors).
+
+    Checks the skeleton (TEI > teiHeader(fileDesc(titleStmt,
+    publicationStmt, sourceDesc)) + text(body)), per-element child
+    models, text-forbidden structural elements, and attributes
+    (TEI_VALID_ATTRS in the text body, header vocabulary in the header)."""
+    errors = []
+    if teidoc.tag != "TEI":
+        return False, [f"root must be TEI, got {teidoc.tag}"]
+    top = [c.tag for c in teidoc]
+    if top != ["teiHeader", "text"]:
+        errors.append(f"TEI children must be [teiHeader, text], got {top}")
+    header = next(teidoc.iterdescendants("teiHeader"), None)
+    if header is not None:
+        filedesc = next((c for c in header if c.tag == "fileDesc"), None)
+        if filedesc is None:
+            errors.append("teiHeader missing fileDesc")
+        else:
+            tags = [c.tag for c in filedesc]
+            for required in ("titleStmt", "publicationStmt", "sourceDesc"):
+                if required not in tags:
+                    errors.append(f"fileDesc missing {required}")
+    body = next(teidoc.iterdescendants("body"), None)
+    if body is None:
+        errors.append("no text/body")
+
+    in_header = set()
+    if header is not None:
+        in_header = {id(el) for el in header.iterdescendants()} | {id(header)}
+    for el in teidoc.iterdescendants():
+        model = _TEI_CHILD_MODEL.get(el.tag)
+        if model is not None:
+            for child in el:
+                if child.tag not in model:
+                    errors.append(f"<{child.tag}> not allowed under <{el.tag}>")
+        if el.tag in _TEI_NO_TEXT and (el.text or "").strip():
+            errors.append(f"text content not allowed in <{el.tag}>")
+        allowed_attrs = _TEI_HEADER_ATTRS if id(el) in in_header else TEI_VALID_ATTRS
+        for attr in el.attrib:
+            if attr not in allowed_attrs:
+                errors.append(f"attribute {attr!r} not allowed on <{el.tag}>")
+    return not errors, errors

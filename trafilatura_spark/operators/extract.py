@@ -11,8 +11,9 @@ Design (SURVEY.md §7 P1, BASELINE.json north_rule):
 - mapInPandas over Arrow batches: Spark sees only columnar Arrow; the
   per-document DOM work happens inside the batch loop (no per-row Python
   crossing the JVM boundary).
-- per-document wall-clock guard replacing the reference CLI's 30 s/file
-  timeout (cli_utils.py / settings.cfg:37): overruns yield tier='timeout'.
+- preemptive per-document deadline replacing the reference CLI's 30 s/file
+  process kill (cli_utils.py / settings.cfg:37): the cascade aborts
+  cooperatively at stage/element checkpoints, yielding tier='timeout'.
 """
 
 from __future__ import annotations
@@ -51,7 +52,14 @@ def wrap_turn(text: str) -> str:
 
 
 def extract_one(text: Optional[str], options: Options, timeout: float = DEFAULT_TIMEOUT_SECS):
-    "Extract a single turn; returns (extracted_text|None, tier, chars_kept)."
+    """Extract a single turn; returns (extracted_text|None, tier, chars_kept).
+
+    The per-document bound is PREEMPTIVE: a monotonic deadline rides on
+    the options and is checked cooperatively at cascade stage boundaries
+    and inside element loops (kernel/settings.py check_deadline), so a
+    pathological document yields (None, 'timeout', 0) in bounded wall
+    time instead of stalling an executor core — matching the reference
+    CLI's hard 30 s/file kill (settings.cfg:37, cli_utils.py:431-437)."""
     if text is None:
         return None, "null_input", 0
     # size gate: the reference CLI's is_acceptable_length (utils.py:405-413,
@@ -59,15 +67,12 @@ def extract_one(text: Optional[str], options: Options, timeout: float = DEFAULT_
     wrapped_len = len(text) + len(WRAP_PREFIX) + len(WRAP_SUFFIX)
     if wrapped_len < options.min_file_size or wrapped_len > options.max_file_size:
         return None, "discarded_size", 0
-    t0 = time.monotonic()
+    if timeout is not None:
+        options = options.copy(deadline=time.monotonic() + timeout)
     try:
         result = bare_extract(wrap_turn(text), options)
     except Exception:
         return None, "error", 0
-    if time.monotonic() - t0 > timeout:
-        # the document finished but took too long: flag it so the job can
-        # route pathological inputs out of the hot path on reruns
-        return result.text, "timeout", result.chars_kept
     return result.text, result.tier, result.chars_kept
 
 

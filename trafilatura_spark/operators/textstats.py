@@ -10,14 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# tiny distinctive function-word markers per language for the n-gram/
-# stopword language-ID heuristic; deliberately small and deterministic
-LANG_MARKERS = {
-    "en": r"\b(the|and|of|to|is|in|that|it|for|with)\b",
-    "de": r"\b(der|die|und|das|nicht|ist|ein|mit|den|von)\b",
-    "fr": r"\b(le|la|les|et|des|est|dans|pour|que|une)\b",
-    "es": r"\b(el|los|las|es|en|un|una|por|para|con)\b",
-}
+from ..kernel.langid import LANG_WORDS
+
+# english stopword regex for the quality-scoring ratio (token_stats);
+# language ID itself uses the shared 17-language LANG_WORDS vocabulary
+EN_STOPWORD_RE = r"\b(the|and|of|to|is|in|that|it|for|with)\b"
+# characters stripped before whitespace tokenization (keeps the
+# tokenizer identical between Spark and the DuckDB twin: no \w / \b
+# word-boundary semantics, which differ for non-ASCII between engines)
+_STRIP_PUNCT = r'[.,;:!?¿¡()\[\]{}"«»„“”\'’<>/\\|@#%^&*+=~`-]'
 
 _PUNCT_RE = r"[\.,;:!\?]"
 _UPPER_RE = r"[A-Z]"
@@ -31,7 +32,7 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit(_PUNCT_RE))
     n_upper = F.regexp_count(text, F.lit(_UPPER_RE))
-    n_stop = F.regexp_count(F.lower(text), F.lit(LANG_MARKERS["en"]))
+    n_stop = F.regexp_count(F.lower(text), F.lit(EN_STOPWORD_RE))
     return df.select(
         F.col(id_col),
         n_tokens.cast("int").alias("n_tokens"),
@@ -53,7 +54,7 @@ def token_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
                  / GREATEST(length({text_col}), 1), 6) AS punct_ratio,
            ROUND(len(regexp_extract_all({text_col}, '{_UPPER_RE}')) * 1.0
                  / GREATEST(length({text_col}), 1), 6) AS upper_ratio,
-           ROUND(len(regexp_extract_all(lower({text_col}), '{LANG_MARKERS["en"]}')) * 1.0
+           ROUND(len(regexp_extract_all(lower({text_col}), '{EN_STOPWORD_RE}')) * 1.0
                  / GREATEST(len(regexp_split_to_array(trim({text_col}), '\\s+')), 1), 6) AS stopword_ratio,
            ROUND(length({text_col}) * 1.0
                  / GREATEST(len(regexp_split_to_array(trim({text_col}), '\\s+')), 1), 6) AS mean_token_len
@@ -62,37 +63,54 @@ def token_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    "Stopword-marker language ID: argmax of per-language marker hits."
-    lowered = F.lower(F.col(text_col))
-    scores = {lang: F.regexp_count(lowered, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
-    # deterministic argmax: fixed language order, strict greater-than
-    langs = list(LANG_MARKERS)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    """Function-word language ID over 17 languages (kernel LANG_WORDS):
+    distinct-marker-hit argmax, ties broken by fixed language order.
+
+    Scoring is set-intersection (distinct markers matched), computed as
+    array_intersect on a punctuation-stripped whitespace tokenization —
+    \\b word boundaries are ASCII-only in both Spark's and DuckDB's regex
+    engines, which silently breaks Cyrillic/Turkish markers; tokenizing
+    first keeps Spark and the oracle twin byte-identical."""
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), F.lit(_STRIP_PUNCT), F.lit(" ")), r"\s+"
+    )
+    langs = list(LANG_WORDS)
+    scores = {
+        lang: F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in LANG_WORDS[lang].split()])))
+        for lang in langs
+    }
+    best_score = F.greatest(*scores.values())
+    # first language (in fixed order) reaching the max wins — same
+    # tie-break as the CASE chain in the DuckDB twin.  Building from the
+    # last language outward makes langs[0] the outermost (first-checked).
+    pred = None
+    for lang in reversed(langs):
+        hit = scores[lang] == best_score
+        pred = F.when(hit, F.lit(lang)) if pred is None else F.when(hit, F.lit(lang)).otherwise(pred)
     return df.select(
         F.col(id_col),
-        best.alias("pred_lang"),
+        pred.alias("pred_lang"),
         best_score.cast("int").alias("marker_hits"),
     )
 
 
 def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
-    langs = list(LANG_MARKERS)
-    score_exprs = {
-        lang: f"len(regexp_extract_all(lower({text_col}), '{pat}'))" for lang, pat in LANG_MARKERS.items()
-    }
-    pred = f"'{langs[0]}'"
-    best = score_exprs[langs[0]]
-    for lang in langs[1:]:
-        pred = f"CASE WHEN {score_exprs[lang]} > {best} THEN '{lang}' ELSE {pred} END"
-        best = f"CASE WHEN {score_exprs[lang]} > {best} THEN {score_exprs[lang]} ELSE {best} END"
+    langs = list(LANG_WORDS)
+    strip_sql = _STRIP_PUNCT.replace("'", "''")  # quote the ' inside the char class
+    tok = f"regexp_split_to_array(regexp_replace(lower({text_col}), '{strip_sql}', ' ', 'g'), '\\s+')"
+    score_cols = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in LANG_WORDS[lang].split())
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs) + " END"
     return f"""
-    SELECT {id_col}, {pred} AS pred_lang, CAST({best} AS INT) AS marker_hits
-    FROM {table}
+    WITH toks AS (SELECT {id_col}, {tok} AS toks FROM {table}),
+    scored AS (SELECT {id_col}, {score_cols} FROM toks),
+    m AS (SELECT *, {best} AS best FROM scored)
+    SELECT {id_col}, {pred} AS pred_lang, CAST(best AS INT) AS marker_hits FROM m
     """
 
 

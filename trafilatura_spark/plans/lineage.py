@@ -96,7 +96,13 @@ def run_resumable_extraction(
         )
         elapsed = time.monotonic() - t0
 
-        # lineage row per bucket with extraction metrics
+        # lineage row per bucket with extraction metrics.  A right join
+        # against the wave's bucket list backfills zero-count rows for
+        # EMPTY buckets: without them an empty bucket never reaches the
+        # manifest, is never marked done, and re-runs on every resume.
+        wave_buckets = spark.createDataFrame(
+            [(int(b),) for b in wave], "part_bucket int"
+        )
         metrics = (
             extracted.groupBy("part_bucket")
             .agg(
@@ -106,6 +112,8 @@ def run_resumable_extraction(
                 F.sum(F.when(F.col("tier") == "main", 1).otherwise(0)).alias("n_main"),
                 F.sum(F.when(F.col("tier").startswith("disc"), 1).otherwise(0)).alias("n_discarded"),
             )
+            .join(F.broadcast(wave_buckets), "part_bucket", "right")
+            .fillna(0, ["n_turns", "chars_kept", "n_extracted", "n_main", "n_discarded"])
             .withColumn("status", F.lit("done"))
             .withColumn("wall_seconds", F.lit(round(elapsed, 3)))
         )

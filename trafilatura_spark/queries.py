@@ -462,6 +462,7 @@ def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly in SQL."""
     from .operators.metadata_op import extract_metadata_columns
 
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
@@ -472,7 +473,9 @@ def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source"),
             F.lit('</title><meta name="keywords" content="'),
             F.col("lang"),
-            F.lit('"/></head><body><p>'),
+            F.lit('"/><meta property="article:published_time" content="2024-03-'),
+            day,
+            F.lit('T08:30:00Z"/></head><body><p>'),
             F.col("text"),
             F.lit("</p></body></html>"),
         ).alias("text"),
@@ -481,12 +484,15 @@ def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("conv_id").cast("long").alias("doc_id"),
         F.col("title"),
+        F.col("date"),
         F.concat_ws(",", F.col("tags")).alias("tags_joined"),
     )
 
 
 EXTRACT_DOCS_META_SQL = """
-SELECT doc_id, 'Doc ' || doc_id AS title, lang AS tags_joined
+SELECT doc_id, 'Doc ' || doc_id AS title,
+       '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS date,
+       lang AS tags_joined
 FROM documents
 """
 
