@@ -131,3 +131,68 @@ def test_empty_buckets_get_manifest_rows(spark, tmp_path):
     # a rerun resumes from a complete manifest: zero waves execute
     summary2 = run_resumable_extraction(spark, tiny, out, n_buckets=n_buckets, wave_size=16)
     assert summary2["resumed_from"] == n_buckets and summary2["waves_run"] == 0
+
+
+def test_stateful_conversation_running_state(spark, tmp_path):
+    """applyInPandasWithState: running per-conversation metrics emit update
+    rows each micro-batch; a conversation idle past the event-time gap is
+    finalized (state dropped) once the watermark passes its timeout."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from trafilatura_spark.streaming.extract_stream import (
+        TRANSCRIPT_SCHEMA,
+        conversation_running_state,
+    )
+
+    input_dir = str(tmp_path / "state_in")
+    checkpoint = str(tmp_path / "state_ckpt")
+    para = "<p>" + "Sufficiently long paragraph text for the cascade to keep easily. " * 3 + "</p>"
+
+    def turns(conv, n, base_hour):
+        return [
+            Row(conv_id=conv, turn_idx=i, role="user", text=para, tool=None,
+                ts=datetime(2024, 1, 1, base_hour, i))
+            for i in range(n)
+        ]
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1); conv A's
+    # event-time timeout (base 8:00 + gap) is passed by the watermark once
+    # batch 2's data (9:00) commits, so batch 3 finalizes A
+    spark.createDataFrame(turns("convA", 3, 8), TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(input_dir + "/f1")
+    spark.createDataFrame(turns("convB", 2, 9), TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(input_dir + "/f2")
+    spark.createDataFrame(turns("convC", 1, 11), TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(input_dir + "/f3")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir + "/*")
+    )
+    out = conversation_running_state(stream, gap_minutes=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+
+    # running update rows carry the correct totals
+    a_updates = [r for r in by_conv["convA"] if not r.finalized]
+    assert a_updates and a_updates[-1].n_turns == 3 and a_updates[-1].max_turn_idx == 2
+    assert all(r.total_chars > 0 for r in a_updates)
+    b_updates = [r for r in by_conv["convB"] if not r.finalized]
+    assert b_updates and b_updates[-1].n_turns == 2
+
+    # convA was finalized by the event-time timeout with its full totals
+    a_final = [r for r in by_conv["convA"] if r.finalized]
+    assert a_final and a_final[0].n_turns == 3 and a_final[0].max_turn_idx == 2

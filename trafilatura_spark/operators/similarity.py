@@ -254,3 +254,78 @@ def lsh_topk_sql(
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
     """
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = MULTITABLE_TABLES,
+    dims_per_table: int = MULTITABLE_DIMS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table sign-LSH
+    candidates filtered by exact cosine >= threshold.
+
+    The dedup face of the ANN machinery: near-identical embeddings agree
+    on almost all sign bits, so at dedup-grade thresholds (>= 0.9) LSH
+    recall is high while each table's bucket join stays small — work
+    scales with near-duplicates, not documents^2 (same argument as
+    minhash-LSH + exact-Jaccard for text)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    buckets = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[_table_bucket_expr(vec_col, t, dims_per_table) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+    left = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    right = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    candidates = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_raw", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs_sql(
+    table: str = "embeddings",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = MULTITABLE_TABLES,
+    dims_per_table: int = MULTITABLE_DIMS,
+) -> str:
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"CASE WHEN {vec_col}[{t * dims_per_table + d + 1}] > 0 THEN {1 << d} ELSE 0 END"
+            for d in range(dims_per_table)
+        )
+        bucket_exprs.append(f"'{t}:' || CAST(({bits}) AS VARCHAR)")
+    buckets = ", ".join(bucket_exprs)
+    return f"""
+    WITH b AS (SELECT {id_col}, unnest([{buckets}]) AS bucket FROM {table}),
+    cand AS (
+      SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+      FROM b l JOIN b r USING (bucket)
+      WHERE l.{id_col} < r.{id_col}
+    ),
+    vecs AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 6) AS cosine
+    FROM cand c
+    JOIN vecs a ON a.{id_col} = c.id_a
+    JOIN vecs bb ON bb.{id_col} = c.id_b
+    WHERE list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))) >= {threshold}
+    """

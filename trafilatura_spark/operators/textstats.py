@@ -23,6 +23,11 @@ _STRIP_PUNCT = r'[.,;:!?¿¡()\[\]{}"«»„“”\'’<>/\\|@#%^&*+=~`-]'
 _PUNCT_RE = r"[\.,;:!\?]"
 _UPPER_RE = r"[A-Z]"
 _TOKEN_RE = r"[A-Za-z0-9_]+"
+# GPT-2-style pre-tokenizer approximation, lookahead-free so it runs
+# identically on Spark (java.util.regex) and DuckDB (RE2): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.  Counts the
+# units a byte-BPE would start from — a practical LLM-token estimator.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -33,9 +38,11 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     n_punct = F.regexp_count(text, F.lit(_PUNCT_RE))
     n_upper = F.regexp_count(text, F.lit(_UPPER_RE))
     n_stop = F.regexp_count(F.lower(text), F.lit(EN_STOPWORD_RE))
+    n_bpe = F.regexp_count(text, F.lit(_BPE_RE))
     return df.select(
         F.col(id_col),
         n_tokens.cast("int").alias("n_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
         n_chars.cast("int").alias("n_chars_measured"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
         F.round(n_upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
@@ -49,6 +56,7 @@ def token_stats_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
     return f"""
     SELECT {id_col},
            CAST(len(regexp_split_to_array(trim({text_col}), '\\s+')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all({text_col}, '{_BPE_RE.replace("'", "''")}')) AS INT) AS n_bpe_tokens,
            CAST(length({text_col}) AS INT) AS n_chars_measured,
            ROUND(len(regexp_extract_all({text_col}, '{_PUNCT_RE}')) * 1.0
                  / GREATEST(length({text_col}), 1), 6) AS punct_ratio,

@@ -374,6 +374,16 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multitable_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Testdata embeddings are near-random
+    (max pair cosine ~0.51), so the oracle entry uses threshold 0.4 with
+    4-bit tables to exercise a nonzero candidate->filter path; production
+    dedup would run the defaults (threshold 0.9, 8-bit tables)."""
+    return S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dims_per_table=4
+    )
+
+
 # --- extraction ------------------------------------------------------------------
 
 def extract_documents_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +563,7 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multitable_topk": ann_lsh_multitable_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
     "extract_documents_metadata": extract_documents_metadata,
@@ -585,6 +596,7 @@ ORACLE_SQL = {
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
     "ann_lsh_multitable_topk": S.lsh_multitable_topk_sql(),
+    "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,

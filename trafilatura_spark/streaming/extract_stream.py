@@ -104,3 +104,79 @@ def start_file_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def conversation_running_state(
+    stream_df: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    gap_minutes: int = 10,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-conversation running extraction metrics with event-time session
+    finalization.
+
+    Each micro-batch updates a per-conv_id state (turn count, chars kept,
+    max turn_idx) and emits an update row; a conversation idle past
+    ``gap_minutes`` of event time (watermark-driven GroupStateTimeout)
+    emits a final row with finalized=true and drops its state.  This is
+    the north star's "custom stateful operator" shape: state lives in the
+    state store (RocksDB/HDFS-backed on a cluster), keyed by conv_id, so
+    memory scales with ACTIVE conversations, not corpus size."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fn = make_extract_batch_fn(options, passthrough_cols=["conv_id", "turn_idx", "ts"])
+    extract_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("ts", TimestampType(), True),
+            StructField("extracted_text", StringType(), True),
+            StructField("tier", StringType(), False),
+            StructField("chars_kept", IntegerType(), False),
+        ]
+    )
+    extracted = stream_df.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+        fn, schema=extract_schema
+    )
+
+    out_schema = (
+        "conv_id string, n_turns bigint, total_chars bigint, max_turn_idx int, finalized boolean"
+    )
+    state_schema = "n_turns bigint, total_chars bigint, max_turn_idx int"
+    gap_ms = gap_minutes * 60_000
+
+    def update_conv(key, pdfs, state):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n, chars, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_turns": n, "total_chars": chars,
+                  "max_turn_idx": mx, "finalized": True}]
+            )
+            return
+        n, chars, mx = state.get if state.exists else (0, 0, -1)
+        latest = None
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf["chars_kept"].fillna(0).sum())
+            mx = max(mx, int(pdf["turn_idx"].max()))
+            ts_max = pdf["ts"].max()
+            if not pd.isna(ts_max):
+                latest = ts_max if latest is None else max(latest, ts_max)
+        state.update((n, chars, mx))
+        if latest is not None:
+            state.setTimeoutTimestamp(int(latest.timestamp() * 1000) + gap_ms)
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_turns": n, "total_chars": chars,
+              "max_turn_idx": mx, "finalized": False}]
+        )
+
+    return (
+        extracted.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update_conv, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )
