@@ -1,0 +1,128 @@
+"""Physical-plan audit: assert the plans we'd want at 100 TB.
+
+For each audited query this checks, against the executed/analyzed plan:
+- filter pushdown reaches the parquet scan (PushedFilters non-empty
+  where the query filters scan columns),
+- column pruning reaches the scan (ReadSchema contains only needed
+  columns — a scan reading all columns for a narrow projection fails),
+- small dimensions broadcast (BroadcastHashJoin / BroadcastExchange),
+- per-document tables do NOT broadcast where that would OOM at scale
+  (the Jaccard counts join must be a shuffle join under a non-AQE
+  plan check),
+- Python stays off the hot path except the single MapInPandas stage.
+
+Usage: python tools/audit_plans.py [sf_dir]
+Prints one PASS/FAIL line per assertion and exits nonzero on failure.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+CHECKS = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    CHECKS.append((name, ok))
+    print(f"{'PASS' if ok else 'FAIL'} {name}" + (f" — {detail}" if detail and not ok else ""))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    from trafilatura_spark import queries as Q
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("plan-audit")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # q1: filter pushdown + column pruning at the lineitem scan.
+    # collect() first: under AQE the executed plan only carries the final
+    # (codegen-annotated) form after execution; the FileScan bracket list
+    # is used for pruning because the ReadSchema string is truncated.
+    q1 = Q.q1_pricing_summary(spark, sf_dir)
+    q1.collect()
+    p = plan_of(q1)
+    check("q1 filter pushdown", "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200])
+    rs = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    cols = rs.group(1) if rs else ""
+    check(
+        "q1 column pruning",
+        bool(rs) and "l_comment" not in cols and "l_orderkey" not in cols and "l_quantity" in cols,
+        cols[:200],
+    )
+    check("q1 partial aggregation", "partial_" in p)
+    # '*(N)' operator prefixes mark whole-stage-codegen spans in the final
+    # AQE plan string (the literal 'WholeStageCodegen' only appears in
+    # formatted explain)
+    check("q1 whole-stage codegen", "*(" in p and "isFinalPlan=true" in p)
+
+    # q3: selective dimension broadcast
+    p = plan_of(Q.q3_shipping_priority(spark, sf_dir))
+    check("q3 broadcast customer dim", "BroadcastHashJoin" in p or "BroadcastExchange" in p)
+    check("q3 pushdown on 3 scans", p.count("PushedFilters: [") >= 3 and p.count("PushedFilters: []") == 0)
+
+    # q5: all three small dims broadcast, no python
+    p = plan_of(Q.q5_supplier_volume(spark, sf_dir))
+    check("q5 broadcasts small dims", p.count("BroadcastExchange") + p.count("BroadcastHashJoin") >= 3)
+    check("q5 no Python stage", "Python" not in p and "MapInPandas" not in p)
+
+    # extraction: single Arrow stage, scan-side column pruning
+    from trafilatura_spark.fixtures import transcripts_df
+    from trafilatura_spark.operators.extract import extract_transcripts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "CAST(doc_id AS STRING) AS conv_id", "0 AS turn_idx", "text"
+    )
+    p = plan_of(extract_transcripts(docs))
+    check("extract single MapInPandas stage", p.count("MapInPandas") == 1)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = rs.group(1) if rs else ""
+    check("extract scan pruned to needed cols", bool(rs) and "lang" not in cols and "source" not in cols, cols[:200])
+    check("extract no pre-UDF shuffle by default", "Exchange" not in p.split("MapInPandas")[-1])
+
+    # jaccard-via-LSH: the per-doc counts join must NOT be broadcast in
+    # the static plan (AQE may still pick broadcast at tiny SF — audit
+    # the pre-AQE plan via spark.conf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from trafilatura_spark.operators.dedup import ngram_jaccard_via_lsh
+
+    p = plan_of(ngram_jaccard_via_lsh(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    check("jaccard counts join is shuffle (no broadcast hint)", "BroadcastHashJoin" not in p)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    # ANN multi-table: bucket join keys on bucket (no cartesian)
+    p = plan_of(Q.ann_lsh_multitable_topk(spark, sf_dir))
+    check("ann multitable no cartesian product", "CartesianProduct" not in p)
+
+    # brute-force cosine: query side broadcast (small), scan side streamed
+    p = plan_of(Q.ann_cosine_topk(spark, sf_dir))
+    check("ann brute query-side broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
+
+    spark.stop()
+    failures = [n for n, ok in CHECKS if not ok]
+    print(f"{len(CHECKS) - len(failures)}/{len(CHECKS)} plan assertions hold")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -464,6 +464,43 @@ FROM documents
 """
 
 
+def extract_documents_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked LIST extraction: heading + 2-item list + padded
+    paragraph per document.  Value-checks the list handler and the
+    serializer's '- item' rendering through the full cascade."""
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<article><h2>Doc "),
+            F.col("doc_id"),
+            F.lit("</h2><ul><li>alpha "),
+            F.col("lang"),
+            F.lit("</li><li>beta "),
+            F.col("source"),
+            F.lit("</li></ul><p>"),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article>"),
+        ).alias("text"),
+    )
+    out = extract_transcripts(docs, num_partitions=32)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"), F.col("extracted_text"))
+
+
+EXTRACT_DOCS_LIST_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(
+         'Doc ' || doc_id || chr(10)
+         || '- alpha ' || lang || chr(10)
+         || '- beta ' || source || chr(10)
+         || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' {_PAD}'
+       ) AS extracted_text
+FROM documents
+"""
+
+
 def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable metadata extraction: build a deterministic page
     (title + keywords meta) around each document, run the FULL metadata
@@ -566,6 +603,7 @@ SPARK_QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
+    "extract_documents_list": extract_documents_list,
     "extract_documents_metadata": extract_documents_metadata,
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
@@ -599,6 +637,7 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
+    "extract_documents_list": EXTRACT_DOCS_LIST_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
     # non-SQL-expressible (full cascade); driver records rows-only checks
