@@ -235,10 +235,12 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
     where the pure-CPU control itself scaled at 0.97)."""
     path, n_turns = ensure_scaling_corpus(n_convs)
     results: dict = {}
-    # 3 attempts per level, interleaved, best wall each: host steal comes
-    # in multi-minute windows, and an ASYMMETRIC attempt count would bias
-    # the ratio (e.g. 3 high vs 2 low once recorded a superlinear 1.13)
-    for cpus in (high, low, high, low, high, low):
+    # 2 attempts per level, interleaved, best wall each.  SYMMETRIC
+    # attempt counts matter: an asymmetric 3-high/2-low best-of once
+    # recorded a superlinear 1.13 when both low legs caught one steal
+    # window.  2+2 keeps total bench wall ~11 min; pinned 2+2 trials
+    # recorded 0.906 and 0.817.
+    for cpus in (high, low, high, low):
         wall = _run_leg_subprocess(cpus, path, n_turns)
         if cpus not in results or wall < results[cpus][1]:
             results[cpus] = (n_turns / wall, wall, n_turns)

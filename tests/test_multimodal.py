@@ -1,5 +1,17 @@
 """Multimodal plumbing: format sniffing (JVM-side) and batched feature
-extraction (stubbed decode, real dataflow)."""
+extraction / resize / frame sampling (stubbed decode, real dataflow)."""
+
+import pytest
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 64),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 64),
+        (3, b"\x00\x00\x00\x18ftypmp42" + b"v" * 256),
+    ]
+    return spark.createDataFrame(rows, ["media_id", "payload"])
 
 
 def test_media_pipeline(spark):
@@ -38,3 +50,32 @@ def test_decode_real_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"")
+
+
+def test_media_resize_plumbing(spark, media_df):
+    from trafilatura_spark.operators.multimodal import media_resize
+
+    rows = media_resize(media_df, width=8, height=4).collect()
+    assert len(rows) == media_df.count()
+    for r in rows:
+        assert r.width == 8 and r.height == 4
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 32
+    # deterministic: same input -> same resized payload
+    again = {r.media_id: bytes(r.payload) for r in media_resize(media_df, width=8, height=4).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_video_frame_sample_fanout(spark, media_df):
+    from trafilatura_spark.operators.multimodal import FEATURE_DIM, video_frame_sample
+
+    n_in = media_df.count()
+    rows = video_frame_sample(media_df, n_frames=3).collect()
+    assert len(rows) == n_in * 3  # 1 -> N fan-out
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, set()).add(r.frame_idx)
+        assert len(r.frame_feature) == FEATURE_DIM
+    assert all(v == {0, 1, 2} for v in by_media.values())
+    # frames of the same video differ (per-frame decode), deterministically
+    one = [r for r in rows if r.media_id == rows[0].media_id]
+    assert len({tuple(r.frame_feature) for r in one}) == 3

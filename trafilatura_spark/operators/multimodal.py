@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -120,3 +121,91 @@ def media_features(df: DataFrame, id_col: str = "media_id", bin_col: str = "payl
     with_meta = attach_media_meta(df, id_col, bin_col)
     fn = make_feature_batch_fn(id_col, bin_col)
     return with_meta.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: derives a width*height byte grid from
+    the payload digest (a real deployment decodes with PIL and re-encodes
+    at the target size).  Byte-level plumbing — binary in, binary out —
+    is what the Spark dataflow needs to be real for."""
+    digest = hashlib.sha256(payload or b"")
+    out = bytearray()
+    counter = 0
+    while len(out) < width * height:
+        block = hashlib.sha256(digest.digest() + counter.to_bytes(4, "big")).digest()
+        out.extend(block)
+        counter += 1
+    return bytes(out[: width * height])
+
+
+def media_resize(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize operator plumbing: binary payload in, resized binary payload
+    out, metadata carried through.  Decode/re-encode is stubbed (no PIL
+    in this container) — swap _resize_stub for a real resampler; schema,
+    batching and partitioning are unchanged."""
+    with_meta = attach_media_meta(df, id_col, bin_col)
+
+    def resize_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "format": pdf["format"].values,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "payload": [_resize_stub(p, width, height) for p in pdf[bin_col]],
+                }
+            )
+
+    return with_meta.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one input video row fans out to
+    ``n_frames`` output rows (the 1->N batch shape ffmpeg sampling
+    needs).  Frame decode is stubbed deterministically per
+    (payload, frame_idx); a real deployment replaces the stub with
+    ffmpeg keyframe extraction — the mapInPandas contract is identical."""
+
+    def frame_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            ids, idxs, feats = [], [], []
+            for media_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                for f in range(n_frames):
+                    ids.append(media_id)
+                    idxs.append(f)
+                    feats.append(_decode_stub((payload or b"") + f.to_bytes(4, "big")).tolist())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_feature": feats})
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(frame_batch, schema=FRAME_SCHEMA)
