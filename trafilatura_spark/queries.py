@@ -501,6 +501,42 @@ FROM documents
 """
 
 
+def extract_documents_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked MARKDOWN serialization: heading + inline bold through
+    the full cascade with formatting on.  Value-checks the '## ' heading
+    rendering, '**' inline emphasis, block '\n\n' separation and the
+    formatting-mode whitespace preservation against a DuckDB twin."""
+    from .kernel.settings import Options
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<article><h2>Doc "),
+            F.col("doc_id"),
+            F.lit("</h2><p>Alpha <b>beta "),
+            F.col("lang"),
+            F.lit("</b> gamma. "),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article>"),
+        ).alias("text"),
+    )
+    opts = Options(format="markdown", formatting=True)
+    out = extract_transcripts(docs, options=opts, num_partitions=32)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"), F.col("extracted_text"))
+
+
+EXTRACT_DOCS_MD_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(
+         '## Doc ' || doc_id || chr(10) || chr(10)
+         || 'Alpha **beta ' || lang || '** gamma. ' || text || ' {_PAD}'
+       ) AS extracted_text
+FROM documents
+"""
+
+
 def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable metadata extraction: build a deterministic page
     (title + keywords meta) around each document, run the FULL metadata
@@ -604,6 +640,7 @@ SPARK_QUERIES = {
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
     "extract_documents_list": extract_documents_list,
+    "extract_documents_markdown": extract_documents_markdown,
     "extract_documents_metadata": extract_documents_metadata,
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
@@ -638,6 +675,7 @@ ORACLE_SQL = {
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
     "extract_documents_list": EXTRACT_DOCS_LIST_SQL,
+    "extract_documents_markdown": EXTRACT_DOCS_MD_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
     # non-SQL-expressible (full cascade); driver records rows-only checks
