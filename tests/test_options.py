@@ -221,3 +221,22 @@ def test_classify_language_extended_coverage():
     for lang, text in samples.items():
         assert classify_language(text) == lang, (lang, classify_language(text))
     assert classify_language("zzz qqq xxx") is None  # unknown stays unknown
+
+
+def test_url_blacklist_checks_extracted_canonical_url():
+    "unit_tests.py:1416-1421: the blacklist matches the page's canonical URL."
+    from trafilatura_spark.kernel.extract import bare_extract
+
+    doc = (
+        '<html><head><link rel="canonical" href="https://example.org/page"/></head>'
+        "<body><article><p>Some real article body text here.</p></article></body></html>"
+    )
+    opts = Options(min_extracted_size=0)
+    assert bare_extract(doc, opts).text is not None
+    black = opts.copy(url_blacklist=frozenset({"https://example.org/page"}))
+    assert bare_extract(doc, black).tier == "blacklisted_url"
+    # a canonical URL NOT in the blacklist wins over a blacklisted job URL
+    other = opts.copy(
+        url="https://spam.example/x", url_blacklist=frozenset({"https://spam.example/x"})
+    )
+    assert bare_extract(doc, other).text is not None

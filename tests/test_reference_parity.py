@@ -72,3 +72,195 @@ def test_trailing_lb_removed():
 def test_simple_extract_abc():
     "unit_tests.py:241 shape: minimal well-formed page extracts"
     assert extract("<html><body><p>ABC</p></body></html>", TXT) == "ABC"
+
+
+def _wrap(t):
+    return f"<html><body>{t}</body></html>"
+
+
+def test_precision_recall_parity():
+    "unit_tests.py:1371-1414: focus-mode decisions on teasers/asides/link-paragraphs."
+    wrap = _wrap
+    Z = dict(min_extracted_size=0, min_output_size=1)
+
+    doc = wrap(
+        '<div class="article-body"><div class="teaser-content"><p>This here is a teaser text.</p></div>'
+        "<div><p>This here is the text.</p></div>"
+    )
+    assert "teaser text" in extract(doc, Options(focus="recall", fast=True, **Z))
+    assert "teaser text" not in extract(doc, Options(fast=True, **Z))
+    assert "teaser text" not in extract(doc, Options(focus="precision", fast=True, **Z))
+
+    doc = wrap('<div class="article-body"><p>content</p><p class="link">Test</p></div>')
+    balanced = extract(doc, Options(fast=True, **Z))
+    assert "content" in balanced and "Test" in balanced
+    precise = extract(doc, Options(focus="precision", fast=True, **Z))
+    assert "content" in precise and "Test" not in precise
+
+    doc = wrap("<article><aside><p>Here is the text.</p></aside></article>")
+    assert extract(doc, Options(fast=True, **Z)) != "Here is the text."
+    assert extract(doc, Options(focus="recall", fast=True, **Z)) == "Here is the text."
+
+    doc = wrap("<div><span>Text.</span></div>")
+    assert not extract(doc, Options(focus="precision", fast=True, **Z))
+    assert extract(doc, Options(focus="recall", fast=True, **Z)) == "Text."
+
+
+def test_yoast_faq_block_parity():
+    "unit_tests.py:682-708: Yoast FAQ questions are kept; headers under formatting."
+    wrap = _wrap
+    lead = (
+        "The wrap dress is a dress with a front closure formed by wrapping one side across "
+        "the other and knotting the attached ties that wrap around the back at the waist or "
+        "fastening buttons. It was popularised in the seventies and has remained a wardrobe "
+        "staple ever since, flattering many different body shapes thanks to its cut. " * 2
+    )
+    doc = wrap(
+        "<article><h1>Wrap dress</h1><p>" + lead + "</p>"
+        '<div class="schema-faq wp-block-yoast-faq-block">'
+        '<div class="schema-faq-section" id="faq-question-1">'
+        '<strong class="schema-faq-question">Who invented the wrap dress?</strong> '
+        '<p class="schema-faq-answer">It was popularised by Diane von Furstenberg in 1974.</p>'
+        "</div></div></article>"
+    )
+    assert "Who invented the wrap dress?" in extract(doc, Options())
+    assert "### Who invented the wrap dress?" in extract(doc, Options(formatting=True))
+
+
+def test_blockquote_inline_content_parity():
+    "unit_tests.py:669-680: inline formatting/links/images inside blockquotes survive."
+    intro = "Lead paragraph long enough to anchor the main extractor here with extra words for safety."
+
+    def page(inner):
+        return _wrap(f"<article><p>{intro}</p>{inner}</article>")
+
+    Z = dict(min_extracted_size=0, formatting=True, format="markdown")
+    assert (
+        extract(page("<blockquote><p>A <b>bold</b> word</p></blockquote>"), Options(**Z))
+        == f"{intro}\n\nA **bold** word"
+    )
+    assert (
+        extract(page("<blockquote><p>see <a href='http://x.com'>link</a></p></blockquote>"), Options(links=True, **Z))
+        == f"{intro}\n\nsee [link](http://x.com)"
+    )
+    assert (
+        extract(page("<blockquote><p>text</p><img src='x.jpg' alt='img'/></blockquote>"), Options(images=True, **Z))
+        == f"{intro}\n\ntext\n\n![img](x.jpg)"
+    )
+
+
+def test_link_density_threshold_parity():
+    """unit_tests.py:1433-1504: table link-density thresholds (80% medium /
+    50% large, textless icon links exempt) and the div-level farm rules
+    (short punctuated lists kept, big link farms pruned, long card links
+    kept)."""
+    from trafilatura_spark.kernel.cleaning import link_density_test, link_density_test_tables
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.textutils import trim
+
+    MED = '<ref target="/x">' + "x" * 250 + "</ref>"
+    BIG = '<ref target="/x">' + "x" * 600 + "</ref>"
+    STRADDLE = '<ref target="/x">' + "x" * 360 + "</ref>"
+    table_cases = [
+        (f"<table><cell>{'y' * 50}{MED}</cell></table>", True),    # 83% links, medium -> removed
+        (f"<table><cell>{'y' * 200}{MED}</cell></table>", False),  # 56%, medium -> kept
+        (f"<table><cell>{'y' * 240}{STRADDLE}</cell></table>", False),  # 60%, ~600 chars -> kept
+        (f"<table><cell>{'y' * 400}{BIG}</cell></table>", True),   # 60%, large -> removed
+        (f"<table><cell>{'y' * 600}{BIG}</cell></table>", False),  # 40%, large -> kept
+    ]
+    for fragment, expected in table_cases:
+        tree = load_html(_wrap(fragment))
+        assert link_density_test_tables(tree.find(".//table")) is expected, fragment[:60]
+
+    icon = f"<table><cell>{'data ' * 50}<ref target=\"/x\"><graphic src=\"/i.png\"/></ref></cell></table>"
+    assert link_density_test_tables(load_html(_wrap(icon)).find(".//table")) is False
+
+    def div_case(items):
+        tree = load_html(_wrap(f"<div>{items}</div><p>real article sibling here</p>"))
+        el = tree.find(".//div")
+        return link_density_test(el, trim(el.text_content()))[0]
+
+    short = "".join(f'<ref target="/p{i}">Recommended product number {i}: a nice gadget</ref> ' for i in range(3))
+    assert div_case(short) is False  # 100-150 chars with punctuation: kept
+    farm = "".join(f'<ref target="/n{i}">Latest news headline number {i} about some topic today</ref> ' for i in range(20))
+    assert div_case(farm) is True  # >3 links, >90% link text at any size: pruned
+    card_text = (
+        "Align: a widget that aligns its child within itself and optionally sizes itself "
+        "based on the child's given size"
+    )
+    cards = "".join(f'<ref target="/w{i}">{card_text}</ref> ' for i in range(8))
+    assert div_case(cards) is False  # avg link length >= 100: catalog, kept
+
+
+def test_overall_discard_vocabulary_parity():
+    """unit_tests.py:1506-1535: legacy tokens (yin stays, xg1 removed),
+    both-attribute matching regardless of source order, and the 'cookie'
+    first-attribute-only exception (pages ABOUT cookies keep content)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.selectors import overall_discard_matches
+
+    def discarded(attrs):
+        t = load_html(_wrap(f"<div {attrs}><p>content</p></div>"))
+        return any(len(p) > 0 for p in overall_discard_matches(t))
+
+    for attrs in ('class="yin"', 'class="zlylin"', 'class="mol-factbox"'):
+        assert discarded(attrs), attrs
+    assert not discarded('class="xg1"')  # removed from the reference 2026-07-10
+    assert discarded('class="x" id="author-box"')  # token in @id, class first
+    assert discarded('id="x" class="sidebar"')  # token in @class, id first
+    assert not discarded('class="hidden-x" id="cookieBanner"')  # cookie: first-attr-only
+
+
+def test_precision_discard_link_token_parity():
+    "unit_tests.py:1549-1567: 'link' is a whole class token; 'bottom' stays a substring."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.selectors import precision_discard_matches
+
+    def discarded(value, tag="div"):
+        t = load_html(_wrap(f'<{tag} class="{value}"><p>content</p></{tag}>'))
+        matches = precision_discard_matches(t)
+        return any(len(p) > 0 for p in matches)
+
+    assert discarded("link")
+    assert discarded("nav link")
+    assert not discarded("article-permalink")
+    assert not discarded("headline-link")
+    assert not discarded("featured-link--wrap")
+    assert discarded("article-bottom")
+    assert discarded("site-header", tag="header")
+
+
+def test_body_xpath_fulltext_class_parity():
+    "unit_tests.py:1569-1586: case-insensitive fulltext class still selects the body candidate."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.selectors import BODY_SELECTORS
+
+    def selected(cls):
+        t = load_html(_wrap(f'<div class="{cls}"><p>content</p></div>'))
+        return any(s(t) is not None for s in BODY_SELECTORS)
+
+    for cls in ("fulltext", "FullText", "fullText", "FULLTEXT", "article-fulltext", "FulltextWrapper"):
+        assert selected(cls), cls
+
+
+def test_basic_cleaning_cookie_banner_scope_parity():
+    """unit_tests.py:1588-1610: cookie/consent tokens in basic cleaning are
+    anchored banner/CMP compounds — body classes like 'cookies-not-set' and
+    topical classes like 'cookie-recipe-content' must survive baseline/html2txt."""
+    from trafilatura_spark.kernel.baseline import baseline, html2txt
+    from trafilatura_spark.kernel.loader import load_html
+
+    content = "<p>" + "Real article text about a subject. " * 5 + "</p>"
+    banners = (
+        "<div id='onetrust-consent-sdk'><p>By clicking Accept you agree we can store cookies.</p></div>"
+        "<div class='cookie-notice-container'><p>We use cookies to improve our service.</p></div>"
+    )
+    doc = load_html(
+        "<html><body class='single-post cookies-not-set'>"
+        f"<div class='cookie-recipe-content'>{content}</div>{banners}</body></html>"
+    )
+    _, text, _ = baseline(doc)
+    assert "Real article text" in text
+    assert "cookies" not in text
+    page_measure = html2txt(doc)
+    assert "Real article text" in page_measure and "cookies" not in page_measure

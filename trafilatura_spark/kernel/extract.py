@@ -288,15 +288,23 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
 
 def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> ExtractionResult:
     "Per-document extraction with gates (core.py:290-491), returning text + tier."
-    # per-job URL blacklist (reference core.py:405-409: blacklisted
-    # documents are discarded before any parsing work)
-    if options.url_blacklist and options.url in options.url_blacklist:
-        return ExtractionResult(None, "blacklisted_url", 0, 0)
     try:
         tree = load_html(filecontent)
         if tree is None:
             return ExtractionResult(None, "unparseable", 0, 0)
         check_deadline(options)
+
+        # per-job URL blacklist (reference core.py:414-417): the check is
+        # against the EXTRACTED document URL — canonical/og:url from the
+        # page, falling back to the job-supplied URL — exactly as the
+        # reference's document.url (with_metadata is implied by a
+        # blacklist, settings.py:99-101)
+        if options.url_blacklist:
+            from .metadata import extract_url
+
+            doc_url = extract_url(tree, options.url)
+            if doc_url in options.url_blacklist:
+                return ExtractionResult(None, "blacklisted_url", 0, 0)
 
         # user pruning rules (reference prune_xpath, core.py:429-432):
         # subtrees removed before the cascade sees the document
