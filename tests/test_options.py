@@ -240,3 +240,53 @@ def test_url_blacklist_checks_extracted_canonical_url():
         url="https://spam.example/x", url_blacklist=frozenset({"https://spam.example/x"})
     )
     assert bare_extract(doc, other).text is not None
+
+
+def test_check_html_lang_meta_gate():
+    "utils.py:416-436 + core.py:399-402: declared-language fast-mode gate."
+    from trafilatura_spark.kernel.extract import bare_extract
+    from trafilatura_spark.kernel.langid import check_html_lang
+    from trafilatura_spark.kernel.loader import load_html
+
+    meta_de = (
+        '<html><head><meta http-equiv="content-language" content="de-DE"/></head>'
+        "<body><article><p>Inhalt des Artikels steht hier mit genug Text.</p></article></body></html>"
+    )
+    assert check_html_lang(load_html(meta_de), "de") is True
+    assert check_html_lang(load_html(meta_de), "en") is False
+
+    og = '<html><head><meta property="og:locale" content="en_US"/></head><body><p>x</p></body></html>'
+    assert check_html_lang(load_html(og), "en") is True
+    assert check_html_lang(load_html(og), "fr") is False
+
+    # html@lang only counts in strict mode; absent markup passes
+    lang_attr = '<html lang="fr"><body><p>x</p></body></html>'
+    assert check_html_lang(load_html(lang_attr), "de") is True
+    assert check_html_lang(load_html(lang_attr), "de", strict=True) is False
+    assert check_html_lang(load_html("<html><body><p>x</p></body></html>"), "de") is True
+
+    # wired into the cascade: fast mode discards on declared-language mismatch
+    opts = Options(lang="en", fast=True, min_extracted_size=0)
+    assert bare_extract(meta_de, opts).tier == "wrong_language"
+    assert bare_extract(meta_de, opts.copy(lang="de")).text is not None
+
+
+def test_justext_language_specific_stoplist():
+    "external.py:146-150: a known target language selects its own stoplist."
+    from trafilatura_spark.kernel.justext import LANG_STOPLISTS, MERGED_STOPLIST, try_justext
+    from trafilatura_spark.kernel.loader import load_html
+
+    assert len(LANG_STOPLISTS) >= 17
+    assert all(v <= MERGED_STOPLIST for v in LANG_STOPLISTS.values())
+
+    pl = (
+        "To jest bardzo długi akapit który ma wiele słów i jest napisany po polsku "
+        "ponieważ chcemy sprawdzić czy nasze listy słów funkcyjnych działają dobrze "
+        "dla tego języka oraz że klasyfikator potrafi uznać taki tekst za dobry."
+    )
+    tree = load_html(f"<html><body><div><p>{pl}</p><p>{pl}</p></div></body></html>")
+    # under its own stoplist the Polish page yields good paragraphs...
+    assert len(try_justext(tree, None, "pl")) > 0
+    # ...and under a PURELY-ENGLISH stoplist it yields none (proves the
+    # language switch actually changes the stoplist in use)
+    assert len(try_justext(tree, None, "en")) == 0

@@ -294,6 +294,14 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             return ExtractionResult(None, "unparseable", 0, 0)
         check_deadline(options)
 
+        # quick declared-language gate in fast mode (core.py:399-402:
+        # meta-language check when the classifier would be skipped)
+        if options.lang and options.fast:
+            from .langid import check_html_lang
+
+            if check_html_lang(tree, options.lang) is False:
+                return ExtractionResult(None, "wrong_language", 0, 0)
+
         # per-job URL blacklist (reference core.py:414-417): the check is
         # against the EXTRACTED document URL — canonical/og:url from the
         # page, falling back to the job-supplied URL — exactly as the

@@ -57,6 +57,34 @@ def classify_language(text: str) -> Optional[str]:
     return best_lang
 
 
+_HTML_LANG_RE = re.compile(r"([a-z]{2})")
+# meta attributes checked, in order (reference utils.py:93)
+_TARGET_LANG_ATTRS = (("http-equiv", "content-language"), ("property", "og:locale"))
+
+
+def check_html_lang(tree, target_language: str, strict: bool = False) -> bool:
+    """Quick declared-language check over meta elements (reference
+    utils.py:416-436): content-language / og:locale metas decide when
+    present; the <html lang> attribute only counts in strict mode
+    (it is often wrong); absent markup passes."""
+    for attr, value in _TARGET_LANG_ATTRS:
+        elems = [
+            m
+            for m in tree.iterdescendants("meta")
+            if (m.get(attr) or "").lower() == value and m.get("content")
+        ]
+        if elems:
+            return any(
+                target_language in _HTML_LANG_RE.split((m.get("content") or "").lower())
+                for m in elems
+            )
+    if strict:
+        root = tree if tree.tag == "html" else next(tree.iterdescendants("html"), None)
+        if root is not None and root.get("lang"):
+            return target_language in _HTML_LANG_RE.split((root.get("lang") or "").lower())
+    return True
+
+
 def language_filter(temp_text: str, temp_comments: str, target_language: str) -> bool:
     """True when the document should be DISCARDED (detected language known
     and different from the target) — utils.py:450-464 semantics."""
