@@ -184,3 +184,80 @@ def extract_transcripts(
     schema = extract_result_schema(df, passthrough)
     fn = make_extract_batch_fn(options, passthrough, timeout)
     return pruned.mapInPandas(fn, schema=schema)
+
+
+def make_extract_with_metadata_batch_fn(
+    options: Options = DEFAULT_OPTIONS,
+    passthrough_cols: Optional[list] = None,
+    timeout: float = DEFAULT_TIMEOUT_SECS,
+):
+    """Batch function emitting extraction AND metadata columns in one
+    mapInPandas pass — the reference's bare_extraction(with_metadata=True)
+    shape.  One table scan and one Arrow crossing serve both outputs
+    (running the two standalone operators costs two of each)."""
+    from ..kernel.metadata import extract_metadata
+    from .metadata_op import METADATA_FIELDS, wrap_if_fragment
+
+    passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+
+    def batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            extracted, tiers, kept = [], [], []
+            meta_cols: dict = {name: [] for name, _ in METADATA_FIELDS}
+            meta_cols["categories_joined"] = []
+            meta_cols["tags_joined"] = []
+            for text in pdf["text"]:
+                etext, tier, chars = extract_one(text, options, timeout)
+                extracted.append(etext)
+                tiers.append(tier)
+                kept.append(chars)
+                meta = (
+                    extract_metadata(
+                        wrap_if_fragment(text), options.url, options.author_blacklist
+                    )
+                    if isinstance(text, str)
+                    else None
+                )
+                for name, _ in METADATA_FIELDS:
+                    meta_cols[name].append(getattr(meta, name, None) if meta else None)
+                meta_cols["categories_joined"].append(
+                    ",".join(meta.categories) if meta and meta.categories else None
+                )
+                meta_cols["tags_joined"].append(
+                    ",".join(meta.tags) if meta and meta.tags else None
+                )
+            out = pdf[passthrough].copy()
+            out["extracted_text"] = extracted
+            out["tier"] = tiers
+            out["chars_kept"] = pd.array(kept, dtype="int32")
+            for key, values in meta_cols.items():
+                out[key] = values
+            yield out
+
+    return batch
+
+
+def extract_with_metadata(
+    df: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 64,
+    passthrough_cols: Optional[list] = None,
+    timeout: float = DEFAULT_TIMEOUT_SECS,
+) -> DataFrame:
+    "Combined content + metadata extraction in a single Arrow stage."
+    from .metadata_op import METADATA_FIELDS
+
+    passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+    needed = list(dict.fromkeys(passthrough + ["text"]))
+    pruned = df.select(*needed)
+    if num_partitions is not None:
+        pruned = salted_repartition(pruned, num_partitions, salt_buckets)
+    fields = [df.schema[c] for c in passthrough] + list(EXTRACT_RESULT_FIELDS)
+    fields += [StructField(name, dtype, True) for name, dtype in METADATA_FIELDS]
+    fields += [
+        StructField("categories_joined", StringType(), True),
+        StructField("tags_joined", StringType(), True),
+    ]
+    fn = make_extract_with_metadata_batch_fn(options, passthrough, timeout)
+    return pruned.mapInPandas(fn, schema=StructType(fields))

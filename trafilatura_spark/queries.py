@@ -580,6 +580,51 @@ FROM documents
 """
 
 
+def extract_documents_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked COMBINED extraction + metadata: one mapInPandas pass
+    emits both the extracted text and the metadata ladder (title, date,
+    tags) — the single-scan shape of reference bare_extraction
+    (with_metadata=True).  Value-checks all four outputs in SQL."""
+    from .operators.extract import extract_with_metadata
+
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id"),
+            F.lit(" – Source "),
+            F.col("source"),
+            F.lit('</title><meta name="keywords" content="'),
+            F.col("lang"),
+            F.lit('"/><meta property="article:published_time" content="2024-03-'),
+            day,
+            F.lit('T08:30:00Z"/></head><body><article><p>'),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article></body></html>"),
+        ).alias("text"),
+    )
+    out = extract_with_metadata(docs, num_partitions=32)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+        F.col("title"),
+        F.col("date"),
+        F.col("tags_joined"),
+    )
+
+
+EXTRACT_DOCS_WITH_META_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' {_PAD}') AS extracted_text,
+       'Doc ' || doc_id AS title,
+       '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS date,
+       lang AS tags_joined
+FROM documents
+"""
+
+
 def extract_turn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata struct per transcript turn (rows-only oracle: full ladder).
 
@@ -642,6 +687,7 @@ SPARK_QUERIES = {
     "extract_documents_list": extract_documents_list,
     "extract_documents_markdown": extract_documents_markdown,
     "extract_documents_metadata": extract_documents_metadata,
+    "extract_documents_with_metadata": extract_documents_with_metadata,
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
     "extract_tier_metrics": extract_tier_metrics,
@@ -677,6 +723,7 @@ ORACLE_SQL = {
     "extract_documents_list": EXTRACT_DOCS_LIST_SQL,
     "extract_documents_markdown": EXTRACT_DOCS_MD_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
+    "extract_documents_with_metadata": EXTRACT_DOCS_WITH_META_SQL,
     # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
     # non-SQL-expressible (full cascade); driver records rows-only checks
 }
