@@ -264,3 +264,89 @@ def test_basic_cleaning_cookie_banner_scope_parity():
     assert "cookies" not in text
     page_measure = html2txt(doc)
     assert "Real article text" in page_measure and "cookies" not in page_measure
+
+
+def test_images_parity():
+    """unit_tests.py:864-946: image file-type gate, src-attribute ladder
+    (src/data-src/data-src-*), data-URI rejection, markdown rendering and
+    relative-URL absolutization against the page URL."""
+    from trafilatura_spark.kernel.handlers import handle_image
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.textutils import is_image_file
+
+    assert is_image_file(None) is False
+    assert is_image_file("") is False
+    assert is_image_file("test.jpg") is True
+    assert is_image_file("test.JPG") is True
+    assert is_image_file("PIC.PNG") is True
+    assert is_image_file("photo.JPEG") is True
+    assert is_image_file("test.txt") is False
+    assert is_image_file("test.jpg" * 2000) is False  # length threshold
+
+    def img_el(s):
+        return load_html(_wrap(s)).find(".//img")
+
+    assert handle_image(None) is None
+    assert handle_image(img_el('<img src="test.jpg"/>')) is not None
+    assert handle_image(img_el('<img data-src="test.jpg" alt="text" title="a title"/>')) is not None
+    assert handle_image(img_el('<img other="test.jpg"/>')) is None
+    assert handle_image(img_el('<img src="data:image/jpeg;base64,iVBORw0KGgo=" alt="t"/>')) is None
+    # CNN-style data-src-* ladder: a usable src is found and absolutized
+    fallback = handle_image(img_el('<img class="media__image" alt="A." data-src-mini="//c/s.jpg" data-src-large="//c/l.jpg"/>'))
+    assert fallback is not None and fallback.get("src").startswith("http")
+
+    def img(body, url=None):
+        opts = Options(
+            images=True, fast=True, format="markdown", formatting=True, url=url,
+            min_extracted_size=0, min_output_size=0,
+            min_output_comm_size=0, min_extracted_comm_size=0,
+        )
+        return extract(f"<html><body><article>{body}</article></body></html>", opts) or ""
+
+    assert img('<img data-src="test.jpg" alt="text" title="a title"/>') == "![a title text](test.jpg)"
+    assert img('<p><img data-src="test.jpg" alt="text" title="a title"/></p>') == "![a title text](test.jpg)"
+    assert img('<p><img other="test.jpg" alt="text" title="a title"/></p>') == ""
+    assert img('<div><p><img data-src-small="test.jpg" alt="text" title="a title"/></p></div>') == "![a title text](test.jpg)"
+    url = "http://a.b/c/d.html"
+    assert img('<div><p><img src="//a.b/test.jpg" alt="t" title="a"/></p></div>', url=url) == "![a t](http://a.b/test.jpg)"
+    assert img('<div><p><img src="/a.b/test.jpg" alt="t" title="a"/></p></div>', url=url) == "![a t](http://a.b/a.b/test.jpg)"
+    assert img('<div><p><img src="./a.b/test.jpg" alt="t" title="a"/></p></div>', url=url) == "![a t](http://a.b/c/a.b/test.jpg)"
+    assert img('<div><p><img src="../a.b/test.jpg" alt="t" title="a"/></p></div>', url=url) == "![a t](http://a.b/a.b/test.jpg)"
+
+
+def test_links_parity():
+    """unit_tests.py:948-998 + :855-862: link rendering with/without targets,
+    relative-target absolutization against the page host (host-root base,
+    not page-path urljoin), and the precision-mode long-link-paragraph drop."""
+    Z = dict(min_extracted_size=0, min_output_size=0, min_output_comm_size=0, min_extracted_comm_size=0)
+    L = dict(links=True, fast=True, format="markdown", formatting=True, **Z)
+
+    doc = _wrap('<p><a href="testlink.html">Test link text.</a> This part of the text has to be long enough.</p>')
+    assert "testlink.html" not in extract(doc, Options(**Z))
+    assert "[Test link text.](testlink.html) This part of the text has to be long enough." in extract(doc, Options(**L))
+    assert "[Test link text.](https://www.example.com/testlink.html)" in extract(
+        doc, Options(url="https://www.example.com/", **L)
+    )
+
+    no_target = _wrap("<p><a>Test link text.</a> This part of the text has to be long enough.</p>")
+    assert "[Test link text.] This part of the text has to be long enough." in extract(no_target, Options(**L))
+
+    segs = _wrap("<article><a>Segment 1</a><h1><a>Segment 2</a></h1><p>Segment 3</p></article>")
+    result = extract(segs, Options(format="xml", links=True, fast=True, **Z))
+    assert "1" in result and "2" in result and "3" in result
+
+    # sanitize/fallback path absolutizes too (unit_tests.py:855-862)
+    doc2 = _wrap('<p><a href="/path/page">link</a> ' + "padding " * 10 + "</p>")
+    slow = extract(doc2, Options(url="https://www.example.org", links=True, format="markdown", formatting=True, **Z))
+    assert "[link](https://www.example.org/path/page)" in slow
+
+    # license rel link lands in XML metadata
+    lic = _wrap('<p>Test text under <a rel="license" href="">CC BY-SA license</a>.</p>')
+    assert 'license="CC BY-SA license"' in extract(
+        lic, Options(format="xml", links=True, fast=True, with_metadata=True, **Z)
+    )
+
+    # link-only paragraph: kept in balanced, dropped in precision
+    farm = _wrap(f"<article><p><a>f{'abcd' * 20}</a></p></article>")
+    assert "abc" in extract(farm, Options(fast=True, **Z))
+    assert not extract(farm, Options(fast=True, focus="precision", **Z))

@@ -7,7 +7,9 @@ convert_tags, handle_textnode, process_node).
 
 from __future__ import annotations
 
+import re as _re
 from typing import Iterable, Optional
+from urllib.parse import urlsplit
 
 from .dedup_state import duplicate_test
 from .dom import Element, delete_element, strip_tags
@@ -311,6 +313,28 @@ CONVERSIONS = {
 }
 
 
+def get_base_url(url: str) -> str:
+    "scheme://host of a page URL (courlan.urlutils.get_base_url semantics)."
+    parts = urlsplit(url)
+    return f"{parts.scheme}://{parts.netloc}"
+
+
+def fix_relative_urls(base_url: str, url: str) -> str:
+    """Absolutize a link target against the HOST-ROOT base — the
+    reference resolves <a href> via courlan.fix_relative_urls over
+    get_base_url(page_url) (htmlprocessing.py:376-385), which is
+    deliberately coarser than urljoin (no page-path resolution)."""
+    if url.startswith("//"):
+        return ("https:" if base_url.startswith("https") else "http:") + url
+    if url.startswith("/"):
+        return base_url + url
+    if url.startswith("."):
+        return base_url + "/" + _re.sub(r"^[./]+", "", url)
+    if not url.startswith(("http://", "https://", "{")):
+        return f"{base_url}/{url}"
+    return url
+
+
 def convert_tags(tree: Element, options: Options, url: Optional[str] = None) -> Element:
     "Rewrite HTML into the internal vocabulary (htmlprocessing.py:388-447)."
     if not options.links:
@@ -325,11 +349,17 @@ def convert_tags(tree: Element, options: Options, url: Optional[str] = None) -> 
                 elem.tag = "ref"
         strip_tags(tree, "a")
     else:
+        # relative targets absolutized against the page host (convert_link,
+        # htmlprocessing.py:376-385); ref elements included so the fallback
+        # sanitize path absolutizes too (external.py:183)
+        base_url = get_base_url(url) if url else None
         for elem in list(tree.iterdescendants("a")) + list(tree.iterdescendants("ref")):
-            target = elem.get("href")
+            target = elem.get("href") or elem.get("target")
             elem.tag = "ref"
             elem.attrib.clear()
             if target:
+                if base_url:
+                    target = fix_relative_urls(base_url, target)
                 elem.set("target", target)
 
     # Yoast FAQ question headers (htmlprocessing.py:407-410)
