@@ -350,3 +350,45 @@ def test_links_parity():
     farm = _wrap(f"<article><p><a>f{'abcd' * 20}</a></p></article>")
     assert "abc" in extract(farm, Options(fast=True, **Z))
     assert not extract(farm, Options(fast=True, focus="precision", **Z))
+
+
+def test_htmlprocessing_parity():
+    """unit_tests.py:1201-1339: paywall pruning at both speeds, heading
+    rendering in xml/xmltei, conversion vocabulary (ref/graphic/hi-#t/
+    table), image order preservation inside links, and the
+    only_with_metadata gate."""
+    from trafilatura_spark.kernel.cleaning import convert_tags, tree_cleaning
+    from trafilatura_spark.kernel.loader import load_html
+
+    Z = dict(min_extracted_size=0, min_output_size=0, min_output_comm_size=0, min_extracted_comm_size=0)
+
+    doc = '<html><body><main><p>1</p><p id="premium">2</p><p>3</p></main></body></html>'
+    assert extract(doc, Options(fast=True, **Z)) == "1\n3"
+    assert extract(doc, Options(fast=False, **Z)) == "1\n3"
+
+    doc = _wrap("<article><h1>Test headline</h1><p>Test</p></article>")
+    assert '<head rend="h1">Test headline</head>' in extract(doc, Options(format="xml", fast=True, **Z))
+    assert '<ab rend="h1" type="header">Test headline</ab>' in extract(doc, Options(format="xmltei", fast=True, **Z))
+
+    tree = load_html(_wrap(
+        '<table><a href="">Link</a></table><img src="test.jpg"/><u>Underlined</u>'
+        "<tt>True Type</tt><sub>Text</sub><sup>Text</sup>"
+    ))
+    opts = Options(formatting=True, images=True, links=True, tables=True)
+    conv = convert_tags(tree_cleaning(tree, opts), opts)
+    assert next(conv.iterdescendants("ref"), None) is not None
+    assert next(conv.iterdescendants("graphic"), None) is not None
+    assert any(h.get("rend") == "#t" for h in conv.iterdescendants("hi"))
+    assert next(conv.iterdescendants("table"), None) is not None
+
+    multi = load_html(_wrap('<a href="/x"><img src="a.jpg"/><img src="b.jpg"/><img src="c.jpg"/></a>'))
+    o2 = Options(images=True, links=True)
+    conv2 = convert_tags(tree_cleaning(multi.copy_tree(), o2), o2)
+    assert [g.get("src") for g in conv2.iterdescendants("graphic")] == ["a.jpg", "b.jpg", "c.jpg"]
+
+    bare = '<html><head><meta http-equiv="content-language" content="EN"/></head><body><div class="article-body"><p>Text.</p></div></body></html>'
+    assert extract(bare, Options(format="xml", **Z)) is not None
+    assert extract(bare, Options(format="xml", only_with_metadata=True, **Z)) is None
+    # declared-language fast gate fires; the slow path keeps language-unknown
+    # short text (heuristic classifier stand-in: unknown never discards)
+    assert extract(bare, Options(lang="de", fast=True, **Z)) is None
