@@ -392,3 +392,45 @@ def test_htmlprocessing_parity():
     # declared-language fast gate fires; the slow path keeps language-unknown
     # short text (heuristic classifier stand-in: unknown never discards)
     assert extract(bare, Options(lang="de", fast=True, **Z)) is None
+
+
+def test_exotic_tags_parity():
+    """unit_tests.py:308-399: malformed doctype recovery, naked div with
+    <br> separators (containment, as in the reference: the div and its
+    lb tails are processed independently by design), HTML5 <details>,
+    improperly-nested <em><p>, and comment-section capture."""
+    Z = dict(min_extracted_size=0, min_output_size=0, min_output_comm_size=0, min_extracted_comm_size=0)
+
+    broken_doctype = (
+        '<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+        '2012"http://www.w3.org/TR/html4/loose.dtd"><html><head></head><body><p>ABC</p></body></html>'
+    )
+    assert "ABC" in extract(broken_doctype, Options(**Z))
+
+    naked = "<html><body><main><div>1.<br/>2.<br/>3.<br/></div></main></body></html>"
+    assert "1.\n2.\n3." in extract(naked, Options(fast=True, **Z))
+
+    details = _wrap(
+        "<article><details><summary>Epcot Center</summary><p>Epcot is a theme park at "
+        "Walt Disney World Resort featuring exciting attractions, international pavilions, "
+        "award-winning fireworks and seasonal special events.</p></details></article>"
+    )
+    for fast in (True, False):
+        result = extract(details, Options(fast=fast, **Z))
+        assert "Epcot Center" in result and "award-winning fireworks" in result
+
+    weird = _wrap(
+        '<div id="content"><h1>A header</h1><h2>Very specific bug so odd</h2>'
+        '<h3>Nested header</h3><p>Some "hyphenated-word quote" followed by a bit more text line.</p>'
+        "<em><p>em improperly wrapping p here</p></em><p>Text here<br/></p><h3>More articles</h3></div>"
+    )
+    for focus in ("balanced", "precision", "recall"):
+        result = extract(
+            weird,
+            Options(formatting=True, links=True, images=True, format="markdown", focus=focus, **Z),
+        )
+        assert "em improperly wrapping p here" in result
+        assert result.endswith("Text here")
+
+    commented = _wrap('<article><p>text</p><div class="comments"><p>comment</p></div></article>')
+    assert extract(commented, Options(comments=True, fast=True, **Z)).endswith("\ncomment")
