@@ -434,3 +434,40 @@ def test_exotic_tags_parity():
 
     commented = _wrap('<article><p>text</p><div class="comments"><p>comment</p></div></article>')
     assert extract(commented, Options(comments=True, fast=True, **Z)).endswith("\ncomment")
+
+
+def test_markdown_metadata_yaml_safe_parity():
+    "unit_tests.py:626-666 (GH #814): YAML front matter stays parseable for special values."
+    from trafilatura_spark.kernel.formats import _yaml_scalar
+
+    assert _yaml_scalar("Indu K Murthy") == "Indu K Murthy"
+    assert _yaml_scalar("https://example.com/a:b") == "https://example.com/a:b"
+    assert _yaml_scalar("élan vital") == "élan vital"
+    assert _yaml_scalar("COP30: a guide") == '"COP30: a guide"'
+    assert _yaml_scalar("#1 ranking") == '"#1 ranking"'
+    assert _yaml_scalar("&launch") == '"&launch"'
+    assert _yaml_scalar("true") == '"true"'
+    assert _yaml_scalar("2024") == '"2024"'
+    assert _yaml_scalar("[draft]") == '"[draft]"'
+    assert _yaml_scalar('say "hi": now') == '"say \\"hi\\": now"'
+
+    # end-to-end: markdown + with_metadata emits quoted front matter
+    doc = (
+        "<html><head><title>COP30: a beginner’s guide</title>"
+        '<meta name="author" content="Indu K Murthy"/></head>'
+        "<body><article><p>Some body text with enough words to be extracted.</p></article></body></html>"
+    )
+    result = extract(doc, Options(format="markdown", with_metadata=True, min_extracted_size=0))
+    assert result.startswith("---\n")
+    assert 'title: "COP30: a beginner’s guide"' in result
+    assert "author: Indu K Murthy" in result
+    assert result.endswith("Some body text with enough words to be extracted.")
+
+
+def test_markdown_formatting_default_tristate():
+    "unit_tests.py:710-716: markdown formats by default; explicit False honored."
+    doc = _wrap("<article><p>plain and <b>bold</b> text here.</p></article>")
+    Z = dict(min_extracted_size=0)
+    assert extract(doc, Options(format="markdown", **Z)) == "plain and **bold** text here."
+    assert extract(doc, Options(format="markdown", formatting=False, **Z)) == "plain and bold text here."
+    assert extract(doc, Options(format="txt", formatting=True, **Z)) == "plain and **bold** text here."

@@ -381,7 +381,11 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
         meta_gate = _xm(filecontent, options.url, options.author_blacklist)
         if not (meta_gate.url and meta_gate.title and meta_gate.date):
             return None
-    if result.text is None or options.format in ("txt", "markdown"):
+    # txt/markdown return the plain string UNLESS metadata was requested —
+    # then the YAML front-matter path runs (reference core.py:118-125)
+    if result.text is None or (
+        options.format in ("txt", "markdown") and not options.with_metadata
+    ):
         return result.text
     from .formats import determine_returnstring
     from .metadata import extract_metadata

@@ -35,7 +35,10 @@ class Options:
     fast: bool = False
     focus: str = "balanced"  # balanced | precision | recall
     comments: bool = True
-    formatting: bool = False
+    # tri-state like the reference's include_formatting (bool | None):
+    # None = format default (markdown formats, others don't); an explicit
+    # False is honored even for markdown (unit_tests.py:710-716)
+    formatting: Optional[bool] = None
     links: bool = False
     images: bool = False
     tables: bool = True
@@ -65,6 +68,20 @@ class Options:
     url_blacklist: frozenset = frozenset()
     author_blacklist: frozenset = frozenset()
     only_with_metadata: bool = False
+
+    def __post_init__(self) -> None:
+        # implied options (reference settings.py:99-101,168-170):
+        # markdown output implies formatting unless explicitly disabled;
+        # metadata-consuming features imply with_metadata
+        if self.formatting is None:
+            self.formatting = self.format == "markdown"
+        if (
+            self.only_with_metadata
+            or self.url_blacklist
+            or self.author_blacklist
+            or self.format == "xmltei"
+        ):
+            self.with_metadata = True
 
     def copy(self, **kw) -> "Options":
         return replace(self, **kw)
