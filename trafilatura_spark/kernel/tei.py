@@ -125,30 +125,114 @@ def _handle_unwanted_tails(element: Element) -> None:
 
 
 def _handle_text_content_of_div_nodes(element: Element) -> None:
-    "Wrap loose text in <div> within <p> (xml.py:760+ analog)."
+    """Wrap loose div text/tail in <p> for TEI conformity, MERGING into an
+    adjacent existing <p> when there is one (xml.py
+    _handle_text_content_of_div_nodes: leading text joins the first child
+    p, the div's tail joins the last child p)."""
     if element.text and element.text.strip():
-        p = Element("p")
-        p.text = element.text
+        if len(element) > 0 and element[0].tag == "p":
+            element[0].text = f"{element.text} {element[0].text or ''}".strip()
+        else:
+            new_child = Element("p")
+            new_child.text = element.text
+            element.insert(0, new_child)
         element.text = None
-        element.insert(0, p)
-    for child in list(element):
-        if child.tail and child.tail.strip():
-            p = Element("p")
-            p.text = child.tail
-            child.tail = None
-            child.addnext(p)
+
+    if element.tail and element.tail.strip():
+        if len(element) > 0 and element[-1].tag == "p":
+            element[-1].text = f"{element[-1].text or ''} {element.tail}".strip()
+        else:
+            new_child = Element("p")
+            new_child.text = element.tail
+            element.append(new_child)
+        element.tail = None
+
+
+TEI_DIV_SIBLINGS = {"p", "list", "table", "quote", "ab"}
+
+
+def _wrap_unwanted_siblings_of_div(div_element: Element) -> None:
+    "Wrap block siblings following a div in a new div (xml.py analog)."
+    new_sibling = Element("div")
+    new_sibling_index = None
+    parent = div_element.getparent()
+    if parent is None:
+        return
+    for sibling in list(div_element.itersiblings()):
+        if sibling.tag == "div":
+            break
+        if sibling.tag in TEI_DIV_SIBLINGS:
+            new_sibling_index = new_sibling_index or parent.index(sibling)
+            parent.remove(sibling)
+            new_sibling.append(sibling)
+        else:
+            if new_sibling_index and len(new_sibling) > 0:
+                parent.insert(new_sibling_index, new_sibling)
+                new_sibling = Element("div")
+                new_sibling_index = None
+    if new_sibling_index and len(new_sibling) != 0:
+        parent.insert(new_sibling_index, new_sibling)
+
+
+def _move_element_one_level_up(element: Element) -> None:
+    """Move an <ab> outside its <p> parent, splitting the p around it
+    (xml.py _move_element_one_level_up)."""
+    parent = element.getparent()
+    grand_parent = parent.getparent() if parent is not None else None
+    if parent is None or grand_parent is None:
+        return
+
+    new_elem = Element("p")
+    trailing = list(element.itersiblings())
+    for sib in trailing:
+        parent.remove(sib)
+    new_elem.extend(trailing)
+
+    parent.remove(element)
+    grand_parent.insert(grand_parent.index(parent) + 1, element)
+
+    tail = element.tail.strip() if element.tail else None
+    if tail:
+        new_elem.text = tail
+        element.tail = None
+
+    tail = parent.tail.strip() if parent.tail else None
+    if tail:
+        new_elem.tail = tail
+        parent.tail = None
+
+    if len(new_elem) > 0 or new_elem.text or new_elem.tail:
+        grand_parent.insert(grand_parent.index(element) + 1, new_elem)
+
+    if len(parent) == 0 and not parent.text:
+        grand_parent.remove(parent)
 
 
 def _tei_handle_complex_head(element: Element) -> Element:
-    "Flatten a head with children into a plain ab (approximation)."
-    new_elem = Element("ab", dict(element.attrib))
-    new_elem.text = " ".join(x for x in element.itertext() if x.strip()).strip() or None
-    new_elem.tail = element.tail
-    return new_elem
+    """Convert a head with children to <ab>: p children fold into the ab
+    text (joined with <lb/>), other children (lists, tables) are carried
+    inside the ab verbatim (xml.py _tei_handle_complex_head)."""
+    new_element = Element("ab", dict(element.attrib))
+    new_element.text = element.text.strip() if element.text else None
+    for child in list(element):
+        if child.tag == "p":
+            if len(new_element) > 0 or new_element.text:
+                if len(new_element) == 0 or new_element[-1].tail:
+                    SubElement(new_element, "lb")
+                new_element[-1].tail = child.text
+            else:
+                new_element.text = child.text
+        else:
+            element.remove(child)
+            new_element.append(child)
+    tail = element.tail.strip() if element.tail else None
+    if tail:
+        new_element.tail = tail
+    return new_element
 
 
 def check_tei(xmldoc: Element) -> Element:
-    "Scrub remaining non-TEI tags/attributes (xml.py:742-796 analog)."
+    "Scrub remaining non-TEI tags/attributes (xml.py check_tei semantics)."
     for elem in list(xmldoc.iterdescendants("head")):
         elem.tag = "ab"
         elem.set("type", "header")
@@ -161,6 +245,14 @@ def check_tei(xmldoc: Element) -> Element:
             parent.remove(elem)
             parent.insert(idx, new_elem)
             elem = new_elem
+        if parent.tag == "p":
+            _move_element_one_level_up(elem)
+    # <lb/> child of a body div with tail text becomes a <p> (xml.py)
+    for body in xmldoc.iterdescendants("body"):
+        for div in body.iterdescendants("div"):
+            for elem in list(div):
+                if elem.tag == "lb" and elem.tail and elem.tail.strip():
+                    elem.tag, elem.text, elem.tail = "p", elem.tail, None
     bodies = [el for el in xmldoc.iterdescendants("body")]
     for body in bodies:
         for elem in list(body.iterdescendants()):
@@ -171,6 +263,7 @@ def check_tei(xmldoc: Element) -> Element:
                 _handle_unwanted_tails(elem)
             elif elem.tag == "div":
                 _handle_text_content_of_div_nodes(elem)
+                _wrap_unwanted_siblings_of_div(elem)
             for attribute in [a for a in elem.attrib if a not in TEI_VALID_ATTRS]:
                 elem.attrib.pop(attribute)
     return xmldoc
