@@ -233,3 +233,60 @@ def test_determinism():
 
     html = wrap(turn_text("conv00000007", 3))
     assert extract(html) == extract(html)
+
+
+def test_input_handling_parity():
+    """unit_tests.py:169-253: encoding detection, faulty-HTML repair,
+    XML-illegal char stripping, input-type handling, NFC normalization."""
+    import pytest as _pytest
+
+    from trafilatura_spark.kernel import Options, extract
+    from trafilatura_spark.kernel.baseline import baseline
+    from trafilatura_spark.kernel.loader import detect_encoding, load_html, repair_faulty_html
+    from trafilatura_spark.kernel.textutils import sanitize, trim
+
+    assert detect_encoding("高山云雾出好茶".encode("utf-8")) == ["utf-8"]
+    assert "gb18030" in detect_encoding("高山云雾出好茶".encode("gb18030"))
+
+    cases = [
+        ("<!DOCTYPE html PUBLIC />\n<html></html>", "\n<html></html>"),
+        ("<html>\n</html>", "<html>\n</html>"),
+        ("<html/>\n</html>", "<html>\n</html>"),
+        (
+            '<!DOCTYPE html>\n<html lang="en-US"/>\n<head/>\n<body/>\n</html>',
+            '<!DOCTYPE html>\n<html lang="en-US">\n<head/>\n<body/>\n</html>',
+        ),
+    ]
+    for raw, expected in cases:
+        assert repair_faulty_html(raw, raw[:50].lower()) == expected
+
+    # XML-illegal characters stripped pre-parse; tabs kept
+    bad = "<html><body><p>a\x00b\x1dc￾￿d</p>\t<p>keep\tme</p></body></html>"
+    repaired = repair_faulty_html(bad, bad[:50].lower())
+    assert "abcd" in repaired and "keep\tme" in repaired
+    page = (
+        "<html><body><article>"
+        + "<p>Long enough article paragraph\x1d for baseline￿ to trigger.</p>" * 3
+        + "</article></body></html>"
+    )
+    assert baseline(page)[2] > 0
+
+    with _pytest.raises(TypeError):
+        load_html(123)
+    assert load_html("<html><body>\x2f\x2e\x9f</body></html>".encode("latin-1")) is not None
+
+    class _RespLike:
+        data = b"<html><body><p>response data</p></body></html>"
+
+    assert load_html(_RespLike()) is not None
+
+    assert trim("\tTest  ") == "Test"
+    assert trim("\t\tTest  Test\r\n") == "Test Test"
+    assert sanitize(None) is None
+    assert sanitize("Test&nbsp;Text") == "Test Text"
+
+    result = extract(
+        "<html><body><p>Äffin</p></body></html>",
+        Options(min_extracted_size=0, min_output_size=0),
+    )
+    assert result == "Äffin"  # NFC-normalized output

@@ -102,6 +102,9 @@ def load_html(htmlobject: Any) -> Optional[Element]:
     "Load and validate input (utils.py:234-278)."
     if isinstance(htmlobject, Element):
         return htmlobject
+    # response-like objects exposing .data are unwrapped (utils.py:241-243)
+    if hasattr(htmlobject, "data") and isinstance(getattr(htmlobject, "data"), (bytes, str)):
+        htmlobject = htmlobject.data
     if not isinstance(htmlobject, (bytes, str)):
         raise TypeError("incompatible input type", type(htmlobject))
     htmlobject = decode_file(htmlobject)
