@@ -471,3 +471,86 @@ def test_markdown_formatting_default_tristate():
     assert extract(doc, Options(format="markdown", **Z)) == "plain and **bold** text here."
     assert extract(doc, Options(format="markdown", formatting=False, **Z)) == "plain and bold text here."
     assert extract(doc, Options(format="txt", formatting=True, **Z)) == "plain and **bold** text here."
+
+
+def test_formatting_parity_extended():
+    """unit_tests.py:400-624: trailing lb drop, markdown emphasis table
+    (**/*/`/~~/__), inline code in headings, code fences from pre/code
+    combinations, lists with links, line-break after formatting, empty
+    front matter without fingerprint, and mixed-content XML serialization
+    (no indentation injected between inline children)."""
+    Z = dict(min_extracted_size=0, min_output_size=0, min_output_comm_size=0, min_extracted_comm_size=0)
+    TF = Options(format="txt", formatting=True, **Z)
+
+    assert "lb" not in extract(_wrap("<p>This here is the text.<br/></p>"), Options(format="xml", **Z))
+
+    s = _wrap("<article><h3>Title</h3><p><b>This here is in bold font.</b>Non-bold here</p></article>")
+    assert extract(s, TF) == "### Title\n\n**This here is in bold font.**Non-bold here"
+    assert extract(s, Options(format="markdown", **Z)) == extract(s, TF)
+
+    meta = extract(
+        "<html><head><title>Test</title></head><body><p>ABC.</p></body></html>",
+        Options(format="markdown", with_metadata=True, **Z),
+    )
+    assert " ".join(meta.split()) == "--- title: Test --- ABC."  # no fingerprint line
+
+    code_doc = _wrap(
+        "<article><h3>Title</h3><p>Here is a code sample:</p><code>import trafilatura</code></article>"
+    )
+    assert extract(code_doc, TF) == "### Title\n\nHere is a code sample:\n\n`import trafilatura`"
+
+    emphasis = _wrap(
+        '<p><b>bold</b>, <i>italics</i>, <tt>tt</tt>, <strike>deleted</strike>, '
+        '<u>underlined</u>, <a href="test.html">link</a> and additional text to bypass detection.</p>'
+    )
+    assert extract(emphasis, Options(fast=True, formatting=False, **Z)) == (
+        "bold, italics, tt, deleted, underlined, link and additional text to bypass detection."
+    )
+    assert extract(emphasis, Options(fast=True, formatting=True, **Z)) == (
+        "**bold**, *italics*, `tt`, ~~deleted~~, __underlined__, link and additional text to bypass detection."
+    )
+    assert extract(emphasis, Options(fast=True, links=True, formatting=True, **Z)) == (
+        "**bold**, *italics*, `tt`, ~~deleted~~, __underlined__, [link](test.html) "
+        "and additional text to bypass detection."
+    )
+    xml_out = extract(emphasis, Options(format="xml", fast=True, formatting=True, **Z))
+    assert (
+        '<p><hi rend="#b">bold</hi>, <hi rend="#i">italics</hi>, <hi rend="#t">tt</hi>, '
+        '<del>deleted</del>, <hi rend="#u">underlined</hi>, link and additional text to bypass detection.</p>'
+    ) in xml_out
+
+    lists = _wrap(
+        '<article><ul><li>Number 0</li><li>Number <a href="test.html">1</a></li>'
+        '<li><a href="test.html">Number 2</a> n2</li><li>Number 3</li>'
+        "<li><p>Number 4</p> n4</li></ul>Test</article>"
+    )
+    assert extract(lists, Options(format="markdown", links=True, **Z)) == (
+        "- Number 0\n- Number [1](test.html)\n- [Number 2](test.html) n2\n- Number 3\n- Number 4 n4\n\nTest"
+    )
+
+    fed = _wrap(
+        "<article><p><strong>Staff Review of the Financial Situation</strong><br>"
+        "Domestic financial conditions remained accommodative over the intermeeting period.</p></article>"
+    )
+    assert extract(fed, Options(format="txt", fast=True, **Z)) == (
+        "Staff Review of the Financial Situation\nDomestic financial conditions "
+        "remained accommodative over the intermeeting period."
+    )
+
+    heading_code = _wrap(
+        '<article><h4 id="1theinoperator">1) The <code>in</code> Operator</h4>'
+        "<p>The easiest way to check if a Python string contains a substring is to use the "
+        "<code>in</code> operator and some more text for the size gate.</p></article>"
+    )
+    assert '<head rend="h4">1) The <code>in</code> Operator</head>' in extract(
+        heading_code, Options(format="xml", fast=True, formatting=True, **Z)
+    )
+
+    pre_code = (
+        "<html><head><body><article>python code below:\n"
+        "<pre><code>\ndef test:\n    print('hello')\n    print('world')\n    </code></pre>\n"
+        "</article></body></html>"
+    )
+    assert extract(pre_code, Options(format="markdown", **Z)) == (
+        "python code below:\n```\ndef test:\n    print('hello')\n    print('world')\n    \n```"
+    )

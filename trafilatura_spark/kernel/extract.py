@@ -393,9 +393,12 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
     metadata = None
     if getattr(options, "with_metadata", False):
         metadata = extract_metadata(filecontent, options.url, options.author_blacklist)
-        from .fingerprint import content_fingerprint
+        # fingerprint only for non-text formats (core.py:778-785: the
+        # markdown/txt front matter carries no fingerprint line)
+        if options.format not in ("txt", "markdown") and result.raw_text is not None:
+            from .fingerprint import content_fingerprint
 
-        metadata.fingerprint = content_fingerprint(  # type: ignore[attr-defined]
-            f"{metadata.title} {result.raw_text}"
-        )
+            metadata.fingerprint = content_fingerprint(  # type: ignore[attr-defined]
+                f"{metadata.title} {result.raw_text}"
+            )
     return determine_returnstring(result.body, result.commentsbody, options, metadata)

@@ -76,7 +76,14 @@ def _escape_attr(s: str) -> str:
 def tostring_xml(el: Element, pretty: bool = True, level: int = 0) -> str:
     "Serialize the internal tree to XML (lxml tostring pretty_print analog)."
     attrs = "".join(f' {k}="{_escape_attr(str(v))}"' for k, v in el.attrib.items())
-    children_only = len(el) > 0 and not text_chars_test(el.text)
+    # mixed content (element text OR any child tail) must serialize inline:
+    # indentation would inject whitespace into the text (lxml pretty_print
+    # likewise skips elements with mixed content)
+    children_only = (
+        len(el) > 0
+        and not text_chars_test(el.text)
+        and not any(text_chars_test(child.tail) for child in el)
+    )
     indent = "  " * level if pretty else ""
     if len(el) == 0 and not el.text:
         return f"{indent}<{el.tag}{attrs}/>"
