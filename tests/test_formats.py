@@ -70,3 +70,18 @@ def test_xml_escaping():
     doc = "<html><body><p>a &lt; b &amp; c &gt; d with enough words to keep this</p></body></html>"
     out = extract(doc, Options(format="xml", min_extracted_size=0))
     assert "a &lt; b &amp; c &gt; d" in out
+
+
+def test_csv_json_output_parity():
+    "unit_tests.py:263-306: csv null columns and json fingerprint/language keys."
+    from trafilatura_spark.kernel import Options, extract
+
+    Z = dict(min_extracted_size=0, min_output_size=0, min_output_comm_size=0, min_extracted_comm_size=0)
+    s = "<html><body><p>ÄÄÄÄÄÄÄÄÄÄÄÄÄÄ</p></body></html>"
+    csv = extract(s, Options(format="csv", **Z))
+    assert csv is not None and "ÄÄÄÄ" in csv and csv.endswith("\r\n")
+    assert extract(s, Options(format="csv", comments=False, **Z)).endswith("\tnull\r\n")
+    js = extract(s, Options(format="json", **Z))
+    assert "Ä" in js and js.endswith("}")
+    js_meta = extract(s, Options(format="json", with_metadata=True, **Z))
+    assert js_meta.endswith("}") and '"fingerprint":' in js_meta and '"language":' in js_meta

@@ -554,3 +554,19 @@ def test_formatting_parity_extended():
     assert extract(pre_code, Options(format="markdown", **Z)) == (
         "python code below:\n```\ndef test:\n    print('hello')\n    print('world')\n    \n```"
     )
+
+
+def test_external_components_parity():
+    "unit_tests.py:806-846: language-mismatch discard and invalid-attribute robustness."
+    Z = dict(min_extracted_size=0, min_output_size=0)
+    italian = "<html><body>" + "<p>Non è inglese.</p>" * 20 + "</body></html>"
+    assert extract(italian, Options(fast=False, lang="en", **Z)) is None
+    bad_xml = (
+        '<p>Testing</p><ul style="" padding:1px; margin:15px""><b>Features:</b> '
+        "<li>Saves the cost of two dedicated phone lines.</li> al station using Internet "
+        "or cellular technology.</li> <li>Requires no change to the existing Fire Alarm "
+        "Control Panel configuration. The IPGSM-4G connects directly to the primary and "
+        "secondary telephone ports.</li>"
+    )
+    res = extract(f"<html><body>{bad_xml}</body></html>", Options(format="xml", **Z))
+    assert "Features" in res
