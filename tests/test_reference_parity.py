@@ -570,3 +570,52 @@ def test_external_components_parity():
     )
     res = extract(f"<html><body>{bad_xml}</body></html>", Options(format="xml", **Z))
     assert "Features" in res
+
+
+def test_no_duplicate_content_parity():
+    """unit_tests.py:2141-2226 (#768/#817/#879/T6/#634): content must never
+    be emitted twice — overlapping candidates, wild-text recovery re-adds,
+    list-folded paragraphs, non-adjacent duplicates, short elements, and
+    inline-formatting boundaries in the recovery dedup."""
+    real = Options()  # real config: default min_extracted_size hides nothing
+
+    dup768 = (
+        "<!doctype html><body><main><article><div><br>Line that has to have at least 125 "
+        "characters for the bug to appear so here is some filler text text text text text "
+        "text text</div></article></main></body></html>"
+    )
+    assert (extract(dup768, real) or "").count("Line that has to have") == 1
+
+    dup817 = (
+        "<html><body><div id='content'><p>Authoritative taxonomy of but let us leave it as "
+        "it is 1 2 3</p></div><p>some text long enough not to skip and printed twice on this "
+        "line some text long enough not to skip and printed twice on this line</p></body></html>"
+    )
+    assert (extract(dup817, real) or "").count("Authoritative taxonomy") == 1
+
+    dup879 = (
+        "<html><body><nav>menu chrome</nav><article><h1>The Example Chronicle</h1>"
+        "<p>First synthetic paragraph of adequate length for extraction to engage properly.</p>"
+        "<p>Second synthetic paragraph, also long enough to matter for the extractor.</p>"
+        "</article><footer>footer chrome</footer></body></html>"
+    )
+    for doc in (dup879, dup879.replace("article>", "main>")):
+        out = extract(doc, real) or ""
+        assert out.count("First synthetic paragraph") == 1
+        assert out.count("Second synthetic paragraph") == 1
+
+    dup = "X" * 30 + " short duplicate description text for the list item here right now please."
+    wild = (
+        "Y" * 30 + " this is genuinely separate wild text living outside the article container "
+        "elsewhere in the page body content over here, quite far removed from it."
+    )
+    doc = f"<html><body><p>{wild}</p><article><dl><dt>Term</dt><dd><p>{dup}</p></dd></dl></article></body></html>"
+    result = extract(doc, Options(fast=True)) or ""
+    assert result.count(dup) == 1 and result.count(wild) == 1 and "Term" in result
+
+    para = (
+        "This paragraph has Hyper<b>link</b>ed formatting inside and needs to be comfortably "
+        "longer than the fifty character dedup gate to be caught by the substring check."
+    )
+    doc = f"<html><body><article><dl><dt>Term one</dt><dd><p>{para}</p></dd></dl></article></body></html>"
+    assert (extract(doc, Options(formatting=True, fast=True)) or "").count("formatting inside") == 1
