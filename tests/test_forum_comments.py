@@ -47,3 +47,60 @@ def test_comments_off_prunes_sections():
     assert LONG_POST in r.text
     assert REPLY_1 not in (r.text or "")
     assert r.len_comments == 0
+
+
+def test_comment_scoping_regressions_parity():
+    """unit_tests.py:2431-2496: with include_comments=False comment
+    containers are pruned before the MAIN pass (div- and details-wrapped
+    threads), non-comment <details> survives, and the stage-4 retry must
+    not lose content captured inside form wrappers."""
+    from trafilatura_spark.kernel import Options, extract
+
+    intro = "<p>Short intro under the escalation and rescue thresholds here.</p>"
+    replies = "".join(
+        f"<div>Reader comment number {i} that must never appear when comments are excluded, "
+        "long enough to matter.</div>"
+        for i in range(8)
+    )
+    doc = f"<html><body><article>{intro}</article><div id='comments' class='comments-area'>{replies}</div></body></html>"
+    for fast in (False, True):
+        result = extract(doc, Options(comments=False, fast=fast)) or ""
+        assert "Short intro" in result
+        assert result.count("Reader comment number") == 0
+
+    body = (
+        "<article>"
+        + "<p>Real article paragraph with enough content to be extracted normally here.</p>" * 3
+        + "</article>"
+    )
+    comments = (
+        "<details id='comments'><summary>Comments</summary>"
+        + "".join(f"<p>Reader comment number {i} that must never leak into the body text.</p>" for i in range(6))
+        + "</details>"
+    )
+    doc = f"<html><body>{body}{comments}</body></html>"
+    for fast in (False, True):
+        result = extract(doc, Options(comments=False, fast=fast)) or ""
+        assert "Real article paragraph" in result
+        assert result.count("Reader comment number") == 0
+    faq = "<details class='faq'><summary>More</summary><p>Kept expandable content paragraph that is genuine.</p></details>"
+    assert "Kept expandable content" in (extract(f"<html><body>{body}{faq}</body></html>", Options()) or "")
+
+    li_intro = "".join(f"<li>Point number {i} of the short visible article summary text here.</li>" for i in range(4))
+    cont = "".join(
+        f"<p>Continuation paragraph {i} with substantial article prose that only the "
+        "recall retry can recover from inside the form wrapper element.</p>"
+        for i in range(12)
+    )
+    reps = "".join(
+        f"<p>Reply {i} ZQXJKVREPLY says something reasonably long about the topic at hand "
+        "in this discussion thread below the article body.</p>"
+        for i in range(8)
+    )
+    doc = (
+        f"<html><body><article><h1>Title of the page</h1><ul>{li_intro}</ul>"
+        f"<form>{cont}<div class='user-comment-area'>{reps}</div></form></article></body></html>"
+    )
+    result = extract(doc, Options(comments=True, fast=True)) or ""
+    assert "Continuation paragraph 5" in result
+    assert "ZQXJKVREPLY" in result
