@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "q5_supplier_volume",
     "q_events_sessions",
     "dedup_minhash_lsh",
+    # the advertised 100 TB parameters (128 hashes / 32 bands): measured
+    # here so the production profile's cost is a recorded number, not a
+    # guess (VERDICT r2 wrong-item 1)
+    "dedup_minhash_lsh_prod",
     # dedup_ngram_jaccard (all-pairs) stays oracle-only: quadratic with sf.
     # The bench measures the scale-path plan (LSH-prefiltered exact Jaccard).
     "dedup_jaccard_via_lsh",
@@ -118,6 +122,29 @@ def run_extraction(spark, n_convs: int, cpus: int, runs: int = 2) -> tuple:
     df = transcripts_df(spark, n_convs, num_slices=partitions).cache()
     n_turns = df.count()
     best = min(_timed_extraction(spark, df, n_turns, partitions) for _ in range(runs))
+    df.unpersist()
+    return best, n_turns
+
+
+def run_extraction_with_metadata(spark, n_convs: int, cpus: int, runs: int = 2) -> tuple:
+    """Time the fused content+metadata job (one parse per document serves
+    both column families); returns (best_wall, n_turns)."""
+    from trafilatura_spark.fixtures import transcripts_df
+    from trafilatura_spark.operators.extract import extract_with_metadata
+
+    partitions = cpus * 4
+    df = transcripts_df(spark, n_convs, num_slices=partitions).cache()
+    n_turns = df.count()
+
+    def timed() -> float:
+        t0 = time.monotonic()
+        agg = extract_with_metadata(df).selectExpr(
+            "count(*) AS n", "count(extracted_text) AS non_null", "count(title) AS n_title"
+        ).collect()[0]
+        assert agg.n == n_turns
+        return time.monotonic() - t0
+
+    best = min(timed() for _ in range(runs))
     df.unpersist()
     return best, n_turns
 
@@ -286,6 +313,12 @@ def main() -> None:
     wall, n_turns = run_extraction(spark, N_CONVS, CPUS)
     timings["extract_transcripts"] = round(wall, 3)
     turns_per_sec = n_turns / wall if wall > 0 else 0.0
+
+    # combined content+metadata job: ONE parse serves both outputs
+    # (kernel bare_extract fusion, round 3) — recorded so the metadata
+    # job's cost is a measured multiple of plain extraction, not a guess
+    meta_wall, meta_turns = run_extraction_with_metadata(spark, N_CONVS, CPUS)
+    timings["extract_with_metadata"] = round(meta_wall, 3)
     spark.stop()
 
     result = {

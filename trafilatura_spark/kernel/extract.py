@@ -18,7 +18,7 @@ from .cleaning import convert_tags, prune_unwanted_nodes, tree_cleaning
 from .dom import Element, delete_element, strip_tags
 from .handlers import _elem_text, extract_comments, extract_content
 from .justext import try_justext
-from .loader import load_html
+from .loader import UnsupportedCompression, load_html
 from .readability import try_readability
 from .selectors import remove_comments_matches
 from .serialize import xmltotxt
@@ -59,6 +59,11 @@ class ExtractionResult:
     body: Optional[Element] = None
     commentsbody: Optional[Element] = None
     raw_text: Optional[str] = None
+    # populated when options.with_metadata (or an implying option) is set:
+    # extracted from the SAME parsed tree as the content cascade, so the
+    # metadata path costs zero extra HTML parses (reference core.py:405-413
+    # likewise extracts metadata from the one loaded tree)
+    metadata: Any = None
 
 
 def _forum_thread_page(tree: Element) -> bool:
@@ -302,17 +307,30 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             if check_html_lang(tree, options.lang) is False:
                 return ExtractionResult(None, "wrong_language", 0, 0)
 
-        # per-job URL blacklist (reference core.py:414-417): the check is
-        # against the EXTRACTED document URL — canonical/og:url from the
-        # page, falling back to the job-supplied URL — exactly as the
-        # reference's document.url (with_metadata is implied by a
-        # blacklist, settings.py:99-101)
-        if options.url_blacklist:
-            from .metadata import extract_url
+        # metadata is extracted ONCE, from the already-parsed tree, before
+        # the cascade (reference core.py:405-413); every downstream
+        # consumer (blacklist gate, only_with_metadata gate, front matter,
+        # TEI header) reuses this object instead of re-parsing the document
+        metadata = None
+        if options.with_metadata:
+            from .metadata import extract_metadata
 
-            doc_url = extract_url(tree, options.url)
-            if doc_url in options.url_blacklist:
+            metadata = extract_metadata(tree, options.url, options.author_blacklist)
+
+            # per-job URL blacklist (reference core.py:414-417): the check
+            # is against the EXTRACTED document URL — canonical/og:url from
+            # the page, falling back to the job-supplied URL (with_metadata
+            # is implied by a blacklist, settings.py:99-101)
+            if options.url_blacklist and metadata.url in options.url_blacklist:
                 return ExtractionResult(None, "blacklisted_url", 0, 0)
+
+            # metadata completeness gate (reference core.py:419-422):
+            # enforced HERE, on the main execution path, so the Spark
+            # operators honor the option through bare_extract too
+            if options.only_with_metadata and not (
+                metadata.url and metadata.title and metadata.date
+            ):
+                return ExtractionResult(None, "no_metadata", 0, 0)
 
         # user pruning rules (reference prune_xpath, core.py:429-432):
         # subtrees removed before the cascade sees the document
@@ -358,6 +376,10 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
         # preemptive per-document bound: the reference's 30 s/file kill
         # yields no output for the document (cli_utils.py:431-437)
         return ExtractionResult(None, "timeout", 0, 0)
+    except UnsupportedCompression:
+        # zstd/brotli payloads with no decoder in this environment:
+        # a labeled discard, never a garbage latin-1 parse
+        return ExtractionResult(None, "unsupported_input", 0, 0)
     except (TypeError, ValueError):
         return ExtractionResult(None, "error", 0, 0)
 
@@ -365,7 +387,9 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
     if options.comments and commentsbody is not None:
         text = f"{text}\n{xmltotxt(commentsbody, options.formatting)}".strip()
     text = normalize_unicode(text)
-    return ExtractionResult(text, tier, len(text), len_comments, postbody, commentsbody, temp_text)
+    return ExtractionResult(
+        text, tier, len(text), len_comments, postbody, commentsbody, temp_text, metadata
+    )
 
 
 def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[str]:
@@ -373,14 +397,9 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
     string; csv/json/html/xml formats serialize via the format
     dispatcher (core.py:494-588, 78-132)."""
     result = bare_extract(filecontent, options)
-    # metadata completeness gate (reference core.py:405-422): with
-    # only_with_metadata, documents lacking url+title+date are discarded
-    if options.only_with_metadata and result.text is not None:
-        from .metadata import extract_metadata as _xm
-
-        meta_gate = _xm(filecontent, options.url, options.author_blacklist)
-        if not (meta_gate.url and meta_gate.title and meta_gate.date):
-            return None
+    # the only_with_metadata completeness gate runs inside bare_extract
+    # (reference core.py:419-422), so a failed gate arrives here as
+    # result.text=None/tier='no_metadata' — no re-extraction needed.
     # txt/markdown return the plain string UNLESS metadata was requested —
     # then the YAML front-matter path runs (reference core.py:118-125)
     if result.text is None or (
@@ -388,11 +407,11 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
     ):
         return result.text
     from .formats import determine_returnstring
-    from .metadata import extract_metadata
 
-    metadata = None
-    if getattr(options, "with_metadata", False):
-        metadata = extract_metadata(filecontent, options.url, options.author_blacklist)
+    # metadata was extracted from the same parsed tree inside bare_extract;
+    # reuse it (one parse per document on every path)
+    metadata = result.metadata
+    if metadata is not None:
         # fingerprint only for non-text formats (core.py:778-785: the
         # markdown/txt front matter carries no fingerprint line)
         if options.format not in ("txt", "markdown") and result.raw_text is not None:

@@ -26,8 +26,23 @@ INVALID_XML_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]")
 UNICODE_ALIASES = {"utf-8", "utf_8"}
 
 
+class UnsupportedCompression(ValueError):
+    """Payload compressed with a codec this environment cannot decode
+    (zstd/brotli libraries absent, no pip): raised so callers emit a
+    LABELED discard (tier='unsupported_input') instead of parsing the
+    compressed bytes as latin-1 soup."""
+
+
+# zstandard frame magic, little-endian 0xFD2FB528 (reference utils.py:118
+# delegates to the zstandard lib which checks the same frame header)
+ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
 def handle_compressed_file(filecontent: bytes) -> bytes:
-    "Magic-number decompression cascade (utils.py:107-141; gzip/zlib only here)."
+    """Magic-number decompression cascade (utils.py:107-141).  gzip/zlib
+    decode here; zstd is DETECTED by frame magic and rejected as
+    UnsupportedCompression (the lib is absent — a labeled discard beats a
+    garbage parse).  Brotli has no magic number and stays undetectable."""
     if not isinstance(filecontent, bytes):
         return filecontent
     if filecontent[:3] == b"\x1f\x8b\x08":
@@ -35,6 +50,8 @@ def handle_compressed_file(filecontent: bytes) -> bytes:
             return gzip.decompress(filecontent)
         except Exception:
             pass
+    if filecontent[:4] == ZSTD_MAGIC:
+        raise UnsupportedCompression("zstd")
     try:
         return zlib.decompress(filecontent)
     except zlib.error:

@@ -802,12 +802,17 @@ def find_date(tree: Element, url: Optional[str] = None, extensive: bool = True) 
 
 
 def check_authors(author: Optional[str], author_blacklist) -> Optional[str]:
-    """Drop blacklisted names from a '; '-joined author string (reference
-    metadata.py check_authors): returns the surviving names or None."""
+    """Drop blacklisted names from a ';'-joined author string (reference
+    metadata.py:159-166): split on ';' (any surrounding spacing), strip each
+    name before the membership test, rejoin stripped survivors with '; '."""
     if not author:
         return None
     blacklist = {a.lower() for a in author_blacklist}
-    surviving = [a for a in author.split("; ") if a.strip().lower() not in blacklist]
+    surviving = [
+        stripped
+        for name in author.split(";")
+        if (stripped := name.strip()) and stripped.lower() not in blacklist
+    ]
     return "; ".join(surviving) or None
 
 

@@ -20,8 +20,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE_N = 3
+
+# GATE profile: cheap parameters for the DuckDB correctness oracle and the
+# unit tests.  An 8-hash MinHash estimates Jaccard with sigma ~ 0.17 and
+# 2-row bands admit a false-candidate flood at corpus scale — these are
+# NOT production parameters.
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # rows_per_band = num_hashes // bands
+
+# PRODUCTION profile (the 100 TB setting): 128 hashes (sigma ~ 0.044) in
+# 32 bands of 4 rows.  Candidate probability follows the LSH s-curve
+#   P(candidate | jaccard=s) = 1 - (1 - s^r)^b     (r=4, b=32)
+# whose half-recall threshold is s* = (1/b)^(1/r) = (1/32)^(1/4) ~ 0.42:
+# pairs at s=0.8 are caught with P>0.9999, while s=0.2 pairs leak through
+# at P~0.05 — a recall-leaning near-dup screen whose false candidates are
+# cheap because every pipeline here re-scores candidates exactly
+# (dedup_jaccard_via_lsh) before acting.  The 4-slots-per-md5-digest
+# signature scheme (_sig_expr_parts) makes 128 hashes cost 32 digests per
+# shingle, amortizing the hash work 4x.
+PRODUCTION_NUM_HASHES = 128
+PRODUCTION_BANDS = 32
+
+
+def lsh_candidate_probability(s: float, num_hashes: int, bands: int) -> float:
+    "LSH s-curve: P(pair becomes a candidate | Jaccard similarity = s)."
+    r = num_hashes // bands
+    return 1.0 - (1.0 - s**r) ** bands
+
+
+def lsh_threshold(num_hashes: int, bands: int) -> float:
+    "Similarity at the s-curve's steep point, (1/b)^(1/r)."
+    r = num_hashes // bands
+    return (1.0 / bands) ** (1.0 / r)
 
 
 def exact_dedup(
@@ -151,12 +181,14 @@ def minhash_lsh_pairs(
         ).alias("bucket"),
     )
     # materialize before the self-join: otherwise the whole shingle/minhash
-    # lineage is recomputed once per join side.  localCheckpoint (eager)
-    # rather than persist(): checkpoint blocks are released by the
-    # ContextCleaner when the DataFrame is garbage-collected, so repeated
-    # calls in a long-lived driver (bench, oracle gate) don't accumulate
-    # cached partitions the way an un-unpersisted .persist() does.
-    stacked = stacked.localCheckpoint(eager=True)
+    # lineage is recomputed once per join side.  persist(), NOT
+    # localCheckpoint: checkpointing truncates lineage onto executor-local
+    # storage, so on a real cluster a lost executor makes those partitions
+    # unrecoverable and fails the job, whereas persisted blocks can be
+    # recomputed from lineage.  Cache blocks are released by Spark's
+    # ContextCleaner once the DataFrame is garbage-collected, so repeated
+    # calls in a long-lived driver don't accumulate live cached partitions.
+    stacked = stacked.persist()
     left = stacked.alias("l")
     right = stacked.alias("r")
     return (

@@ -51,28 +51,52 @@ def wrap_turn(text: str) -> str:
     return f"{WRAP_PREFIX}{text}{WRAP_SUFFIX}"
 
 
-def extract_one(text: Optional[str], options: Options, timeout: float = DEFAULT_TIMEOUT_SECS):
-    """Extract a single turn; returns (extracted_text|None, tier, chars_kept).
+def wrap_if_fragment(text: str) -> str:
+    """Full documents pass through; bare fragments get the standard wrap.
+
+    A page is a full document when it starts with `<html` OR a doctype
+    declaration — re-wrapping a doctype-prefixed page would nest its real
+    `<head>` inside a second `<html><body>` shell where the meta scanners
+    don't look (reference load_html handles both, utils.py:234-278)."""
+    head = text.lstrip()[:15].lower()
+    if head.startswith("<html") or head.startswith("<!doctype"):
+        return text
+    return wrap_turn(text)
+
+
+def extract_one_result(
+    text: Optional[str], options: Options, timeout: float = DEFAULT_TIMEOUT_SECS
+):
+    """Extract a single turn; returns the kernel ExtractionResult (incl.
+    the metadata object when options.with_metadata is set — extracted
+    from the SAME parse as the content, kernel/extract.py bare_extract).
 
     The per-document bound is PREEMPTIVE: a monotonic deadline rides on
     the options and is checked cooperatively at cascade stage boundaries
     and inside element loops (kernel/settings.py check_deadline), so a
-    pathological document yields (None, 'timeout', 0) in bounded wall
-    time instead of stalling an executor core — matching the reference
-    CLI's hard 30 s/file kill (settings.cfg:37, cli_utils.py:431-437)."""
+    pathological document yields tier='timeout' in bounded wall time
+    instead of stalling an executor core — matching the reference CLI's
+    hard 30 s/file kill (settings.cfg:37, cli_utils.py:431-437)."""
+    from ..kernel.extract import ExtractionResult
+
     if text is None:
-        return None, "null_input", 0
+        return ExtractionResult(None, "null_input", 0, 0)
     # size gate: the reference CLI's is_acceptable_length (utils.py:405-413,
     # settings.cfg:7-8) discards before extraction; keep the row, null the text
-    wrapped_len = len(text) + len(WRAP_PREFIX) + len(WRAP_SUFFIX)
-    if wrapped_len < options.min_file_size or wrapped_len > options.max_file_size:
-        return None, "discarded_size", 0
+    wrapped = wrap_if_fragment(text)
+    if len(wrapped) < options.min_file_size or len(wrapped) > options.max_file_size:
+        return ExtractionResult(None, "discarded_size", 0, 0)
     if timeout is not None:
         options = options.copy(deadline=time.monotonic() + timeout)
     try:
-        result = bare_extract(wrap_turn(text), options)
+        return bare_extract(wrapped, options)
     except Exception:
-        return None, "error", 0
+        return ExtractionResult(None, "error", 0, 0)
+
+
+def extract_one(text: Optional[str], options: Options, timeout: float = DEFAULT_TIMEOUT_SECS):
+    "Tuple face of extract_one_result: (extracted_text|None, tier, chars_kept)."
+    result = extract_one_result(text, options, timeout)
     return result.text, result.tier, result.chars_kept
 
 
@@ -193,12 +217,14 @@ def make_extract_with_metadata_batch_fn(
 ):
     """Batch function emitting extraction AND metadata columns in one
     mapInPandas pass — the reference's bare_extraction(with_metadata=True)
-    shape.  One table scan and one Arrow crossing serve both outputs
+    shape.  One table scan, one Arrow crossing, and ONE HTML PARSE per
+    document serve both outputs: bare_extract runs with with_metadata set
+    and returns the metadata object extracted from the same parsed tree
     (running the two standalone operators costs two of each)."""
-    from ..kernel.metadata import extract_metadata
-    from .metadata_op import METADATA_FIELDS, wrap_if_fragment
+    from .metadata_op import METADATA_FIELDS
 
     passthrough = passthrough_cols or ["conv_id", "turn_idx"]
+    options = options.copy(with_metadata=True)
 
     def batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
@@ -207,17 +233,11 @@ def make_extract_with_metadata_batch_fn(
             meta_cols["categories_joined"] = []
             meta_cols["tags_joined"] = []
             for text in pdf["text"]:
-                etext, tier, chars = extract_one(text, options, timeout)
-                extracted.append(etext)
-                tiers.append(tier)
-                kept.append(chars)
-                meta = (
-                    extract_metadata(
-                        wrap_if_fragment(text), options.url, options.author_blacklist
-                    )
-                    if isinstance(text, str)
-                    else None
-                )
+                result = extract_one_result(text, options, timeout)
+                extracted.append(result.text)
+                tiers.append(result.tier)
+                kept.append(result.chars_kept)
+                meta = result.metadata
                 for name, _ in METADATA_FIELDS:
                     meta_cols[name].append(getattr(meta, name, None) if meta else None)
                 meta_cols["categories_joined"].append(

@@ -14,14 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..kernel.metadata import extract_metadata
-from .extract import wrap_turn
-
-
-def wrap_if_fragment(text: str) -> str:
-    "Full documents pass through; bare fragments get the standard wrap."
-    if text.lstrip()[:6].lower().startswith("<html"):
-        return text
-    return wrap_turn(text)
+from .extract import wrap_if_fragment  # noqa: F401  (canonical home: extract.py)
 
 METADATA_FIELDS = [
     ("title", StringType()),

@@ -100,8 +100,12 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k inside each LSH bucket (per-vector nearest
-    bucket-mates).  The self-join keys on bucket id, so work scales with
-    bucket sizes, not n^2."""
+    bucket-mates).  COMPARISON BASELINE ONLY — NOT the scale path: a
+    single table has 2^LSH_DIMS (=256) buckets, so the bucket self-join
+    approaches n^2/256 at corpus scale.  Production ANN is
+    ``lsh_multitable_topk`` below (independent tables, candidate union
+    deduped before one vector fetch per side); this variant is kept as
+    the single-table recall/cost reference point."""
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     buckets = lsh_buckets(df, id_col, vec_col)
     b = vecs.join(buckets, id_col)

@@ -96,23 +96,25 @@ def run_resumable_extraction(
         )
         elapsed = time.monotonic() - t0
 
-        # lineage row per bucket with extraction metrics.  A right join
-        # against the wave's bucket list backfills zero-count rows for
-        # EMPTY buckets: without them an empty bucket never reaches the
-        # manifest, is never marked done, and re-runs on every resume.
+        # lineage row per bucket with extraction metrics.  A left join FROM
+        # the wave's bucket list backfills zero-count rows for EMPTY
+        # buckets: without them an empty bucket never reaches the manifest,
+        # is never marked done, and re-runs on every resume.  The per-wave
+        # metrics aggregate is at most len(wave) rows, so IT is the
+        # broadcast side (a broadcast hint on the preserved side of an
+        # outer join is unachievable and would be silently dropped).
         wave_buckets = spark.createDataFrame(
             [(int(b),) for b in wave], "part_bucket int"
         )
+        wave_metrics = extracted.groupBy("part_bucket").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("chars_kept").alias("chars_kept"),
+            F.count("extracted_text").alias("n_extracted"),
+            F.sum(F.when(F.col("tier") == "main", 1).otherwise(0)).alias("n_main"),
+            F.sum(F.when(F.col("tier").startswith("disc"), 1).otherwise(0)).alias("n_discarded"),
+        )
         metrics = (
-            extracted.groupBy("part_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_turns"),
-                F.sum("chars_kept").alias("chars_kept"),
-                F.count("extracted_text").alias("n_extracted"),
-                F.sum(F.when(F.col("tier") == "main", 1).otherwise(0)).alias("n_main"),
-                F.sum(F.when(F.col("tier").startswith("disc"), 1).otherwise(0)).alias("n_discarded"),
-            )
-            .join(F.broadcast(wave_buckets), "part_bucket", "right")
+            wave_buckets.join(F.broadcast(wave_metrics), "part_bucket", "left")
             .fillna(0, ["n_turns", "chars_kept", "n_extracted", "n_main", "n_discarded"])
             .withColumn("status", F.lit("done"))
             .withColumn("wall_seconds", F.lit(round(elapsed, 3)))

@@ -330,7 +330,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    "Gate profile (8 hashes / 4 bands) — cheap parameters for the oracle."
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION profile (128 hashes / 32 bands of 4 rows): the advertised
+    100 TB setting — sigma ~ 0.044 Jaccard estimate, s-curve threshold
+    ~0.42 (operators/dedup.py).  Same banded bucket-join shape as the gate
+    profile, value-checked against the identical-parameter DuckDB twin."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=D.PRODUCTION_NUM_HASHES,
+        bands=D.PRODUCTION_BANDS,
+    )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +380,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table LSH top-k — COMPARISON BASELINE, not the scale path
+    (256-bucket ceiling → n^2/256 self-join at corpus scale).  Production
+    ANN is ann_lsh_multitable_topk; this stays registered as the
+    recall/cost reference point."""
     return S.lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
@@ -671,6 +688,7 @@ SPARK_QUERIES = {
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
@@ -707,6 +725,9 @@ ORACLE_SQL = {
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),
     "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
+    "dedup_minhash_lsh_prod": D.minhash_lsh_pairs_sql(
+        num_hashes=D.PRODUCTION_NUM_HASHES, bands=D.PRODUCTION_BANDS
+    ),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
