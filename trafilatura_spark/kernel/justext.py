@@ -30,112 +30,21 @@ HEADING_RE = re.compile(r"\bh\d\b")
 SELECT_PATH_RE = re.compile(r"(^select|\.select)")
 PREPROC_REMOVE = frozenset({"head", "script", "style"})
 
-# Built-in function-word stoplists per language (justext data files are
-# unavailable here).  The reference merges ALL justext stoplists into
-# one set by default (external.py:124-131) and switches to the single
+# Stoplists live in kernel/stoplists.py: ~50 built-in function-word
+# vocabularies.  The reference merges ALL justext stoplists into one set
+# by default (external.py:124-131) and switches to the single
 # language-specific stoplist when target_language is set
-# (external.py:146-150) — both behaviors are reproduced from this dict.
-LANG_STOPLISTS = {
-    "en": """
-the of and a to in is you that it he was for on are as with his they i at be this have from or one
-had by word but not what all were we when your can said there use an each which she do how their if
-will up other about out many then them these so some her would make like him into time has look two
-more write go see number no way could people my than first water been call who oil its now find long
-down day did get come made may part over new sound take only little work know place year live me back
-give most very after thing our just name good sentence man think say great where help through much
-before line right too mean old any same tell boy follow came want show also around form three small
-set put end does another well large must big even such because turn here why ask went men read need
-land different home us move try kind hand picture again change off play spell air away animal house
-point page letter mother answer found study still learn should america world
-""",
-    "de": """
-der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden
-aus er hat dass sie nach wird bei einer um am sind noch wie einem über einen so zum war haben nur
-oder aber vor zur bis mehr durch man sein wurde sei während können ihre dann unter wir soll ich
-eines jahr zwei diese wieder keine ihrer seiner alle würde diesem gegen beim selbst jedoch wenn
-ihren schon dieser seine damit müssen welche
-""",
-    "fr": """
-le de la et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont son
-avec comme ont être mais fait aux ses était ou nous sans ces dont elle deux même leur tout après
-avait bien où entre ans peut cette là ils encore mes ainsi été moins très votre
-""",
-    "es": """
-el la de que y a en un ser se no haber por con su para como estar tener le lo todo pero más hacer
-o poder decir este ir otro ese si me ya ver porque dar cuando muy sin vez mucho saber qué sobre mi
-alguno mismo también hasta año dos querer entre así primero desde grande eso ni nos llegar
-""",
-    "it": """
-di e il che la per un in una sono mi si lo ma ha le con non più come io questo qui hai del tu
-ci era lei nel anche perché sei ti quando ho bene cosa sia mia molto
-""",
-    "pt": """
-de a o que e do da em um para é com não uma os no se na por mais as dos como mas foi ao ele das
-tem à seu sua ou ser quando muito há nos já está eu também só pelo pela até isso ela entre era
-depois sem mesmo aos ter seus quem nas me esse eles estão você tinha foram essa num nem suas meu
-""",
-    "nl": """
-de het een en van ik te dat die in je hij zijn is was op aan met als voor had er maar om hem dan
-zou of wat mijn men dit zo door over ze zich bij ook tot uit naar heeft hebben deze niet nog zal
-toen nu haar daar onder tegen na reeds wel waar wordt
-""",
-    "pl": """
-i w się na nie z że do to jest jak po co tak o ale jego za od przez już tylko czy ich może być
-przy bardzo są było dla której kiedy go tym mnie jestem będzie nawet ją tego jednak sobie temu
-można gdy nas takie wszystko jeszcze oraz który została przede wszystkim
-""",
-    "cs": """
-a se na je v že s z k ale i pro tak po co když už jen podle další jeho bude nebo byl být má
-při také za před mezi která které který aby však ještě až bylo byla můžete této od není jsou
-jsme tím jako o do
-""",
-    "sv": """
-och i att det som en på är av för med till den har de inte om ett han men var jag sig från vi
-så kan man när år under också ut efter skulle sina mot där eller vad hade honom bara blir
-mycket nu över sin vid kommer
-""",
-    "da": """
-og i at det er en til de som på med han af for ikke der var mig sig men et har om vi min havde
-ham hun nu over da fra du ud sin dem os op man hans hvor eller hvad skal selv her alle vil blev
-kunne ind når være
-""",
-    "no": """
-og i at det er en til de som på med han var for ikke der et har om du jeg kan vi så
-å være ble eller hva meg noe hadde ikkje etter også
-""",
-    "fi": """
-ja on ei se että oli hän ovat mutta olen sen kun niin kuin myös jo hänen sitä tai vain joka
-mitä minä me he tässä tämä ole kanssa mukaan jos nyt vielä voi kaikki siitä ollut olla sekä
-näin koska jonka heidän
-""",
-    "hu": """
-a az és hogy nem is egy ez volt de meg csak már el vagy ha mint még azt aki ki mert úgy nagyon
-lehet ezt olyan amikor vele ami után lesz kell pedig ők én te ti azok ezek minden sok más jól
-itt ott
-""",
-    "ro": """
-și de a în la cu pe că este nu o un se din mai sau dacă care pentru sunt fost lui ei el ea noi
-dar după când avea acest această fără între prin unde cum toate fiecare acum foarte apoi doar
-două fel ceva fie
-""",
-    "tr": """
-bir ve bu da ne için çok ile daha o ben sen biz siz onlar ama gibi en az var yok değil ki diye
-sonra kadar her şey onun bana beni benim sana seni ancak veya hem ise olarak olan oldu olduğu
-üzere göre karşı bütün
-""",
-    "id": """
-yang dan di itu dengan untuk tidak ini dari dalam akan pada juga saya kita ke ada mereka dia
-anda bisa oleh telah sudah atau seperti karena jika saat harus bagi tentang lebih satu dua
-bahwa tersebut namun masih setelah hanya para kami
-""",
-    "ru": """
-и в не на я что он с как это по но они мы она к у же вы за бы от то все так его было ее мне
-есть был для о еще нет них кто при да когда даже ну если или него вот только уже меня
-""",
-}
-LANG_STOPLISTS = {lang: frozenset(w.lower() for w in words.split()) for lang, words in LANG_STOPLISTS.items()}
-
-MERGED_STOPLIST = frozenset().union(*LANG_STOPLISTS.values())
+# (external.py:146-150) — both behaviors are reproduced here.  Scripts
+# written without spaces (zh/ja/th, plus agglutinative ko) use a
+# substring-coverage density instead of the token density (justext
+# itself has no CJK support; see stoplists.py).
+from .stoplists import (
+    LANG_STOPLISTS,
+    MERGED_STOPLIST,
+    NOSPACE_CHAR_RE,
+    NOSPACE_STOPLISTS,
+    nospace_coverage_re,
+)
 
 
 class Paragraph:
@@ -167,7 +76,16 @@ class Paragraph:
             return 0.0
         return self.chars_count_in_links / length
 
-    def stopwords_density(self, stoplist) -> float:
+    def stopwords_density(self, stoplist, nospace_re=None) -> float:
+        """Token density for space-delimited scripts; character-coverage
+        density when the paragraph is dominated by a no-space script and
+        a coverage regex is supplied (stoplists.py NOSPACE_STOPLISTS)."""
+        if nospace_re is not None:
+            text = self.text
+            nonspace = len(text) - text.count(" ")
+            if nonspace and len(NOSPACE_CHAR_RE.findall(text)) / nonspace > 0.5:
+                covered = sum(len(m) for m in nospace_re.findall(text))
+                return covered / nonspace
         words = self.words
         if not words:
             return 0.0
@@ -236,12 +154,13 @@ def classify_paragraphs(
     stopwords_high: float = 0.2,
     max_link_density: float = 0.25,
     no_headings: bool = True,
+    nospace_re=None,
 ) -> None:
     "Context-free classification."
     for paragraph in paragraphs:
         text = paragraph.text
         length = len(text)
-        stopword_density = paragraph.stopwords_density(stoplist)
+        stopword_density = paragraph.stopwords_density(stoplist, nospace_re)
         link_density = paragraph.links_density()
 
         if link_density > max_link_density:
@@ -340,10 +259,14 @@ def revise_paragraph_classification(paragraphs: list, max_heading_distance: int 
             j += 1
 
 
-def custom_justext(tree: Element, stoplist=MERGED_STOPLIST) -> list:
-    "jusText with the reference's fixed parameters (external.py:134-139)."
+def custom_justext(tree: Element, stoplist=MERGED_STOPLIST, nospace_re=...) -> list:
+    """jusText with the reference's fixed parameters (external.py:134-139).
+    By default no-space-script paragraphs are scored against the merged
+    zh/ja/th/ko coverage list (the merged-stoplist analog)."""
+    if nospace_re is ...:
+        nospace_re = nospace_coverage_re("")
     paragraphs = make_paragraphs(tree)
-    classify_paragraphs(paragraphs, stoplist, 50, 150, 0.1, 0.2, 0.25, True)
+    classify_paragraphs(paragraphs, stoplist, 50, 150, 0.1, 0.2, 0.25, True, nospace_re)
     revise_paragraph_classification(paragraphs, 150)
     return paragraphs
 
@@ -353,9 +276,18 @@ def try_justext(tree: Element, url: Optional[str], target_language: Optional[str
     target_language the language-specific stoplist is used
     (external.py:146-150); otherwise the merged all-language set."""
     result_body = Element("body")
-    stoplist = LANG_STOPLISTS.get(target_language or "", MERGED_STOPLIST)
+    lang = target_language or ""
+    if lang in NOSPACE_STOPLISTS:
+        stoplist: frozenset = frozenset()
+        nospace_re = nospace_coverage_re(lang)
+    elif lang in LANG_STOPLISTS:
+        stoplist = LANG_STOPLISTS[lang]
+        nospace_re = None
+    else:
+        stoplist = MERGED_STOPLIST
+        nospace_re = nospace_coverage_re("")
     try:
-        paragraphs = custom_justext(tree, stoplist)
+        paragraphs = custom_justext(tree, stoplist, nospace_re)
     except Exception:
         return result_body
     for paragraph in paragraphs:
