@@ -211,3 +211,47 @@ def test_find_date_via_extract_metadata():
     )
     meta = extract_metadata(doc, "https://example.com/2018/03/04/slug")
     assert meta.date == "2018-03-04"
+
+
+def test_find_date_original_vs_updated_disagreement():
+    """htmldate original_date semantics (reference calls find_date with
+    original_date=True, htmldate core): published wins by default, the
+    later modified stamp wins when original_date=False."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = (
+        '<html><head>'
+        '<meta property="article:published_time" content="2024-03-05T08:00:00Z"/>'
+        '<meta property="article:modified_time" content="2024-04-10T12:00:00Z"/>'
+        "</head><body><p>text</p></body></html>"
+    )
+    tree = load_html(doc)
+    assert find_date(tree) == "2024-03-05"  # original_date=True default
+    assert find_date(tree, original_date=False) == "2024-04-10"
+    # modified BEFORE published (republished page): published stands in both modes
+    doc2 = doc.replace("2024-04-10T12:00:00Z", "2023-12-01T12:00:00Z")
+    tree2 = load_html(doc2)
+    assert find_date(tree2) == "2024-03-05"
+    assert find_date(tree2, original_date=False) == "2024-03-05"
+
+
+def test_find_date_url_monthname_path():
+    "Guardian-style month-name path segment: /2024/mar/15/."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    tree = load_html("<html><body><p>story text</p></body></html>")
+    assert find_date(tree, "https://news.example/world/2024/mar/15/some-slug") == "2024-03-15"
+    assert find_date(tree, "https://news.example/world/2019/dez/01/x") is None  # unknown month
+
+
+def test_find_date_url_query_parameter():
+    "Explicit date-bearing query parameters: ?date=..., &published=..."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    tree = load_html("<html><body><p>story text</p></body></html>")
+    assert find_date(tree, "https://ex.org/view.php?id=9&date=2021-07-09") == "2021-07-09"
+    assert find_date(tree, "https://ex.org/a?published=20200229") == "2020-02-29"
+    assert find_date(tree, "https://ex.org/a?id=20310229") is None  # not a date param

@@ -21,6 +21,7 @@ ROWS_ONLY_ALLOWLIST = {
     "extract_turn_metadata",
     "extract_transcript_turns",
     "extract_tier_metrics",
+    "text_lang_id_ngram",  # rank-profile arithmetic has no SQL twin
 }
 
 

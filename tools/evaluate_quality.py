@@ -40,7 +40,7 @@ def load_evaldata() -> dict:
 
 def _worker(args):
     filename, item = args
-    from trafilatura_spark.kernel import extract
+    from trafilatura_spark.kernel import bare_extract
 
     path = os.path.join(EVAL_DIR, filename)
     try:
@@ -50,9 +50,10 @@ def _worker(args):
         return None
     t0 = time.monotonic()
     try:
-        result = extract(html)
+        res = bare_extract(html)
+        result, tier = res.text, res.tier
     except Exception:
-        result = None
+        result, tier = None, "error"
     elapsed = time.monotonic() - t0
     if result is not None and isinstance(result, str):
         tp = sum(1 for seg in item["with"] if seg in result)
@@ -63,7 +64,7 @@ def _worker(args):
         tp = fp = 0
         fn = len(item["with"])
         tn = len(item["without"])
-    return tp, fn, fp, tn, elapsed
+    return tp, fn, fp, tn, elapsed, tier
 
 
 def main() -> None:
@@ -92,6 +93,25 @@ def main() -> None:
     accuracy = (tp + tn) / (tp + tn + fp + fn) if results else 0.0
     fscore = (2 * tp) / (2 * tp + fp + fn) if tp else 0.0
 
+    # per-tier confusion: which cascade stage produced each document's
+    # output, and how that tier scores on its own documents — the lens
+    # for tuning the readability/justext comparators without flying blind
+    tiers: dict = {}
+    for r in results:
+        t = tiers.setdefault(r[5], [0, 0, 0, 0, 0])
+        for i in range(4):
+            t[i] += r[i]
+        t[4] += 1
+    tier_table = {
+        tier: {
+            "docs": t[4],
+            "precision": round(t[0] / (t[0] + t[2]), 4) if t[0] + t[2] else None,
+            "recall": round(t[0] / (t[0] + t[1]), 4) if t[0] + t[1] else None,
+            "f1": round(2 * t[0] / (2 * t[0] + t[2] + t[1]), 4) if t[0] else 0.0,
+        }
+        for tier, t in sorted(tiers.items(), key=lambda kv: -kv[1][4])
+    }
+
     print(
         json.dumps(
             {
@@ -102,6 +122,7 @@ def main() -> None:
                 "f1": round(fscore, 4),
                 "core_seconds": round(total_time, 1),
                 "docs_per_core_sec": round(len(results) / total_time, 1) if total_time else None,
+                "tiers": tier_table,
                 "reference_published": {"trafilatura_standard_f1": 0.909, "readability_f1": 0.801,
                                         "justext_f1": 0.742, "baseline_f1": 0.790},
             }

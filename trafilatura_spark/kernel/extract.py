@@ -366,11 +366,12 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             if duplicate_test(postbody, options):
                 return ExtractionResult(None, "discarded_duplicate", 0, 0)
 
-        # language gate (core.py:470-474; heuristic classifier stand-in)
+        # language gate (core.py:470-474; n-gram classifier stand-in,
+        # strict = discard-on-unknown as with py3langid installed)
         if options.lang:
             from .langid import language_filter
 
-            if language_filter(temp_text, temp_comments, options.lang):
+            if language_filter(temp_text, temp_comments, options.lang, options.lang_strict):
                 return ExtractionResult(None, "wrong_language", 0, 0)
     except ExtractionTimeout:
         # preemptive per-document bound: the reference's 30 s/file kill

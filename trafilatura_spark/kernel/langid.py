@@ -1,9 +1,23 @@
-"""Language identification heuristic (stand-in for the reference's
-optional py3langid dependency, utils.py:440-464, absent here).
+"""Language identification (stand-in for the reference's optional
+py3langid dependency, utils.py:440-464, absent here).
 
-Function-word scoring over per-language vocabularies (17 languages) —
-deterministic, n-gram-free, adequate for routing/filtering a
-multilingual crawl.  The Spark column twin lives in
+Two cooperating models:
+
+- character-n-gram rank profiles over ~50 languages
+  (kernel/langprofiles.py, Cavnar-Trenkle method, trained at import
+  from the in-repo stoplist corpora) — the primary classifier;
+- exact function-word hit counts (LANG_WORDS below + the full stoplists)
+  — evidence gate and tie-break when two related languages' n-gram
+  profiles land within a narrow margin (es/it, da/no, ...).
+
+Default semantics keep the round-1 contract: a document whose language
+cannot be established with positive evidence is NEVER discarded.  With
+``strict=True`` (Options.lang_strict) the argmax label is always
+trusted — the reference's behavior when py3langid IS installed, where
+every document gets a label and any mismatch (including
+"model couldn't really tell") discards.
+
+The Spark column twin for whole-table sweeps stays JVM-side in
 operators/textstats.py (lang_id) and shares LANG_WORDS.
 """
 
@@ -11,6 +25,8 @@ from __future__ import annotations
 
 import re
 from typing import Optional
+
+from .langprofiles import tokenize
 
 # distinctive high-frequency function words per language; lowercase,
 # no regex metacharacters.  Deliberately compact: scoring is hit-count
@@ -38,23 +54,62 @@ LANG_WORDS = {
 LANG_WORD_SETS = {lang: frozenset(words.split()) for lang, words in LANG_WORDS.items()}
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-MIN_MARKER_HITS = 2  # below this the text is treated as language-unknown
+MIN_MARKER_HITS = 2  # evidence floor for a standalone word-hit decision
+TIEBREAK_WINDOW = 0.05  # langs within this distance of the best go to the word vote
+CLEAR_MARGIN = 0.05  # a lead this big needs only one exact word hit
+SCRIPT_MARGIN = 0.20  # a lead this big (unique script) needs no word hit at all
 
 
-def classify_language(text: str) -> Optional[str]:
-    """Best-scoring language by function-word occurrence count, or None
-    when fewer than MIN_MARKER_HITS markers fire (unknown language never
-    triggers the discard filter, matching the reference's behavior when
-    py3langid is not installed)."""
-    tokens = _TOKEN_RE.findall(text.lower())
-    if not tokens:
+def _stopword_hits(text: str, tokens: list, lang: str) -> int:
+    "Exact function-word hits for one language (token + no-space lists)."
+    from .stoplists import LANG_STOPLISTS, NOSPACE_STOPLISTS, nospace_coverage_re
+
+    if lang in NOSPACE_STOPLISTS:
+        return len(nospace_coverage_re(lang).findall(text))
+    stoplist = LANG_STOPLISTS.get(lang, frozenset())
+    return sum(1 for t in tokens if t in stoplist)
+
+
+def classify_language(text: str, strict: bool = False) -> Optional[str]:
+    """Detected language over ~50 languages: character-n-gram rank
+    profiles, with a function-word vote among the candidates whose
+    distances land within TIEBREAK_WINDOW of the best (related languages
+    — es/it, da/no — have near-identical n-gram profiles but disjoint
+    function words).
+
+    Default mode returns None (unknown) without positive word evidence:
+    >= MIN_MARKER_HITS exact hits, or one hit behind a clear n-gram lead
+    (agglutinative languages surface few standalone particles).  So thin
+    or out-of-model text never triggers the discard filter, matching the
+    reference when py3langid is NOT installed.  strict mode always
+    returns the argmax label (py3langid-installed semantics)."""
+    from .langprofiles import rank_candidates
+
+    ranked = rank_candidates(text)
+    if not ranked:
         return None
-    best_lang, best_score = None, MIN_MARKER_HITS - 1
-    for lang, words in LANG_WORD_SETS.items():
-        score = sum(1 for t in tokens if t in words)
-        if score > best_score:
-            best_lang, best_score = lang, score
-    return best_lang
+    lowered = text.lower()
+    tokens = tokenize(text)
+    best_dist, best = ranked[0]
+    window = [lang for d, lang in ranked if d - best_dist < TIEBREAK_WINDOW]
+    if len(window) > 1:
+        hits = {lang: _stopword_hits(lowered, tokens, lang) for lang in window}
+        top = max(hits.values())
+        if top > hits[best]:
+            best = next(lang for lang in window if hits[lang] == top)
+    if strict:
+        return best
+    margin = next((d for d, lang in ranked if lang != best), 2.0) - best_dist
+    best_hits = _stopword_hits(lowered, tokens, best)
+    if (
+        best_hits >= MIN_MARKER_HITS
+        or (best_hits >= 1 and margin >= CLEAR_MARGIN)
+        # unique-script languages (e.g. Tamil) leave every other profile
+        # at no-overlap distance; the gap itself is conclusive evidence
+        or margin >= SCRIPT_MARGIN
+    ):
+        return best
+    return None
 
 
 _HTML_LANG_RE = re.compile(r"([a-z]{2})")
@@ -85,8 +140,17 @@ def check_html_lang(tree, target_language: str, strict: bool = False) -> bool:
     return True
 
 
-def language_filter(temp_text: str, temp_comments: str, target_language: str) -> bool:
-    """True when the document should be DISCARDED (detected language known
-    and different from the target) — utils.py:450-464 semantics."""
-    detected = classify_language(temp_text if len(temp_text) > len(temp_comments) else temp_comments)
+def language_filter(
+    temp_text: str, temp_comments: str, target_language: str, strict: bool = False
+) -> bool:
+    """True when the document should be DISCARDED — utils.py:450-464
+    semantics.  Default: discard only a POSITIVELY detected mismatch.
+    strict (Options.lang_strict): the argmax label always stands, so
+    unknown-ish text is discarded too — what the reference does when
+    py3langid is installed and labels every document."""
+    detected = classify_language(
+        temp_text if len(temp_text) > len(temp_comments) else temp_comments, strict=strict
+    )
+    if strict:
+        return detected != target_language
     return detected is not None and detected != target_language

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import dataclass, field
+from datetime import date
 from html import unescape
 from typing import Optional
 from urllib.parse import urlparse
@@ -647,6 +648,13 @@ _TEXT_MDY_RE = re.compile(rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?
 _URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:[/.-]|$)")
 _URL_ISO_RE = re.compile(r"[/-](\d{4})-(\d{1,2})-(\d{1,2})(?:[/.-]|$)")
 _URL_YM_RE = re.compile(r"/(\d{4})/(\d{1,2})(?:/|$)")
+# month-name path segments (Guardian style /2024/mar/15/) and explicit
+# date-bearing query parameters (?date=..., &published=...) — two
+# high-yield htmldate URL shapes beyond the numeric paths
+_URL_MONTHNAME_RE = re.compile(rf"/(\d{{4}})/({_MONTH_ALT})/(\d{{1,2}})(?:/|$)", re.I)
+_URL_QUERY_DATE_RE = re.compile(
+    r"[?&](?:date|published|publish_date|post_date|pubdate|updated)=([^&#]{4,40})", re.I
+)
 _COPYRIGHT_RE = re.compile(r"(?:©|&copy;|copyright\s*(?:©)?)\s*(?:\d{4}\s*[-–]\s*)?(\d{4})", re.I)
 _DATEISH_ATTR_RE = re.compile(
     r"post-?date|post-?meta|entry-?date|article-?date|published|pubdate|"
@@ -658,7 +666,12 @@ MIN_DATE_YEAR, MAX_DATE_YEAR = 1995, 2040
 
 
 def _valid_date(y: int, m: int, d: int) -> Optional[str]:
+    "Range check + real-calendar check (htmldate validates via datetime)."
     if MIN_DATE_YEAR <= y <= MAX_DATE_YEAR and 1 <= m <= 12 and 1 <= d <= 31:
+        try:
+            date(y, m, d)
+        except ValueError:
+            return None
         return f"{y:04d}-{m:02d}-{d:02d}"
     return None
 
@@ -706,13 +719,23 @@ def _normalize_date(value: str) -> Optional[str]:
 
 
 def _url_date(url: str) -> Optional[str]:
-    "URL path date patterns (htmldate extract_url_date / img_pattern)."
+    "URL date patterns (htmldate extract_url_date / img_pattern shapes)."
     for pat in (_URL_DATE_RE, _URL_ISO_RE):
         match = pat.search(url)
         if match:
             result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
             if result:
                 return result
+    match = _URL_MONTHNAME_RE.search(url)
+    if match:
+        result = _valid_date(int(match[1]), _MONTHS[match[2].lower()], int(match[3]))
+        if result:
+            return result
+    match = _URL_QUERY_DATE_RE.search(url)
+    if match:
+        result = _normalize_date(match[1])
+        if result:
+            return result
     match = _COMPACT_DATE_RE.search(url)
     if match:
         result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
@@ -724,11 +747,22 @@ def _url_date(url: str) -> Optional[str]:
     return None
 
 
-def find_date(tree: Element, url: Optional[str] = None, extensive: bool = True) -> Optional[str]:
+def find_date(
+    tree: Element,
+    url: Optional[str] = None,
+    extensive: bool = True,
+    original_date: bool = True,
+) -> Optional[str]:
     """Publication-date ladder standing in for htmldate (the reference
-    delegates at metadata.py:523-525): published meta names -> <time>/
-    date-attributed elements -> date-classed element text -> URL
-    patterns -> modified meta names -> free-text scan -> copyright year."""
+    delegates at metadata.py:523-525 with original_date=True): published
+    meta names -> <time>/date-attributed elements -> date-classed element
+    text -> URL patterns -> modified meta names -> free-text scan ->
+    copyright year.
+
+    ``original_date`` mirrors htmldate's parameter: True (the reference's
+    setting) prefers the first-published date; False prefers the update —
+    when both meta families are present the LATER of published/modified
+    wins, the ladder is otherwise unchanged."""
     # 1. meta vocabulary, publication names first
     modified_candidate = None
     for elem in _head_metas(tree):
@@ -739,6 +773,14 @@ def find_date(tree: Element, url: Optional[str] = None, extensive: bool = True) 
         if attrtype in _DATE_META_NAMES:
             result = _normalize_date(content)
             if result:
+                if not original_date:
+                    # updated-date mode: let a later modified stamp win
+                    for el2 in _head_metas(tree):
+                        a2 = (el2.get("name") or el2.get("property") or el2.get("itemprop") or "").lower()
+                        if a2 in _DATE_MODIFIED_META_NAMES and el2.get("content"):
+                            mod = _normalize_date(el2.get("content"))
+                            if mod and mod > result:
+                                return mod
                 return result
         elif attrtype in _DATE_MODIFIED_META_NAMES and modified_candidate is None:
             modified_candidate = _normalize_date(content)

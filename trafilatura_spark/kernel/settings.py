@@ -44,6 +44,11 @@ class Options:
     tables: bool = True
     dedup: bool = False
     lang: Optional[str] = None
+    # strict language gate: trust the classifier's argmax label for every
+    # document (reference-with-py3langid semantics — unknown-ish text is
+    # discarded as a mismatch); default False keeps the conservative
+    # never-discard-on-thin-evidence behavior (kernel/langid.py)
+    lang_strict: bool = False
     url: Optional[str] = None
     with_metadata: bool = False
     # sizes (settings.cfg:26-33)

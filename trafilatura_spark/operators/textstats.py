@@ -122,6 +122,35 @@ def lang_id_sql(table: str = "documents", id_col: str = "doc_id", text_col: str 
     """
 
 
+def lang_id_ngram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID over ~53 languages — the kernel's
+    Cavnar-Trenkle profile classifier (kernel/langprofiles.py) run as an
+    Arrow-batched mapInPandas column.  Complements the JVM-side 17-language
+    `lang_id` (which stays the cheap whole-table sweep with an exact
+    DuckDB twin); this variant is the full-coverage path, used when the
+    corpus is broader than the marker-word vocabulary.  Rows-only oracle:
+    the rank-profile arithmetic has no SQL twin."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [df.schema[id_col], StructField("pred_lang", StringType(), True)]
+    )
+
+    def batch(iterator):
+        from ..kernel.langid import classify_language
+
+        for pdf in iterator:
+            out = pdf[[id_col]].copy()
+            out["pred_lang"] = [
+                classify_language(t) if isinstance(t, str) else None
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     "Deterministic document fingerprint: md5 of whitespace-normalized lowercase text."
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

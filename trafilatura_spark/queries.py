@@ -371,6 +371,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-coverage (~53-language) char-n-gram lang ID via Arrow batches
+    (rows-only oracle: the Cavnar-Trenkle rank arithmetic has no SQL
+    twin; the JVM-side 17-language text_lang_id remains the
+    value-matched sweep)."""
+    out = T.lang_id_ngram(_t(spark, sf_dir, "documents"))
+    return out.orderBy("doc_id")
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -695,6 +704,7 @@ SPARK_QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_token_stats": text_token_stats,
     "text_lang_id": text_lang_id,
+    "text_lang_id_ngram": text_lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
