@@ -112,3 +112,35 @@ def test_script_content_preserved():
     tree = parse_html('<html><body><script type="application/ld+json">{"a": 1}</script></body></html>')
     script = tree.find("body").find("script")
     assert script.text == '{"a": 1}'
+
+
+def test_copy_tree_survives_pathological_depth():
+    """copy_tree is iterative: a crawl-scale corpus will contain
+    adversarially deep markup, and a recursive clone would blow the
+    interpreter recursion limit long before the 20 MB size gate fires."""
+    from trafilatura_spark.kernel.dom import Element
+
+    root = Element("div")
+    node = root
+    for _ in range(5000):
+        child = Element("div")
+        node.append(child)
+        node = child
+    node.text = "leaf"
+    clone = root.copy_tree()
+    d = clone
+    depth = 0
+    while len(d):
+        d = d[0]
+        depth += 1
+    assert depth == 5000 and d.text == "leaf"
+
+
+def test_text_content_matches_itertext_join():
+    from trafilatura_spark.kernel.dom import parse_html
+
+    tree = parse_html(
+        "<html><body><p>a<b>b</b>c</p><div>d<span>e</span>f<br/>g</div>tail</body></html>"
+    )
+    for el in tree.iter():
+        assert el.text_content() == "".join(el.itertext())

@@ -107,6 +107,23 @@ def main() -> int:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
+    # production-profile MinHash-LSH (128 hashes / 32 bands): same banded
+    # bucket-join shape as the gate profile — no cartesian, no per-doc
+    # broadcast, shingle explode stays map-side before the signature agg
+    p = plan_of(Q.dedup_minhash_lsh_prod(spark, sf_dir))
+    check("lsh prod no cartesian product", "CartesianProduct" not in p)
+    check(
+        "lsh prod bucket self-join is key-equi (SortMerge or Hash)",
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p,
+    )
+
+    # full-coverage n-gram lang-id: one Arrow stage over a pruned scan
+    p = plan_of(Q.text_lang_id_ngram(spark, sf_dir))
+    check("lang-id ngram single MapInPandas stage", p.count("MapInPandas") == 1)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = rs.group(1) if rs else ""
+    check("lang-id ngram scan pruned", bool(rs) and "source" not in cols and "lang" not in cols, cols[:200])
+
     # ANN multi-table: bucket join keys on bucket (no cartesian)
     p = plan_of(Q.ann_lsh_multitable_topk(spark, sf_dir))
     check("ann multitable no cartesian product", "CartesianProduct" not in p)

@@ -149,20 +149,26 @@ class Element:
     def iterdescendants(self, *tags: str) -> Iterator["Element"]:
         if not tags or tags == ("*",):
             stack = self._children[::-1]
+            pop = stack.pop
+            push = stack.extend
             while stack:
-                node = stack.pop()
+                node = pop()
                 yield node
-                if node._children:
-                    stack.extend(node._children[::-1])
+                kids = node._children
+                if kids:
+                    push(kids[::-1])
             return
         tagset = frozenset(tags)
         stack = self._children[::-1]
+        pop = stack.pop
+        push = stack.extend
         while stack:
-            node = stack.pop()
+            node = pop()
             if node.tag in tagset:
                 yield node
-            if node._children:
-                stack.extend(node._children[::-1])
+            kids = node._children
+            if kids:
+                push(kids[::-1])
 
     def iterancestors(self, *tags: str) -> Iterator["Element"]:
         want = _tagfilter(tags)
@@ -188,24 +194,44 @@ class Element:
         text/tails), doc order.  Iterative mixed stack (str = emit,
         Element = expand) — recursive generators pay O(depth) per item."""
         stack: list = [self]
+        pop = stack.pop
         while stack:
-            item = stack.pop()
+            item = pop()
             if item.__class__ is str:
                 yield item
                 continue
-            # a node expands to its text + (child, child-tail) sequence;
-            # the node's own tail is contributed by ITS parent's expansion
-            parts: list = []
-            if item.text:
-                parts.append(item.text)
-            for c in item._children:
-                parts.append(c)
+            # a node expands to its text + (child, child-tail) sequence
+            # pushed in REVERSE doc order (stack pops last-first); the
+            # node's own tail is contributed by ITS parent's expansion
+            children = item._children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
                 if c.tail:
-                    parts.append(c.tail)
-            stack.extend(reversed(parts))
+                    stack.append(c.tail)
+                stack.append(c)
+            if item.text:
+                stack.append(item.text)
 
     def text_content(self) -> str:
-        return "".join(self.itertext())
+        "All inner text as one string — non-generator fast path of itertext."
+        out: list = []
+        emit = out.append
+        stack: list = [self]
+        pop = stack.pop
+        while stack:
+            item = pop()
+            if item.__class__ is str:
+                emit(item)
+                continue
+            children = item._children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if c.tail:
+                    stack.append(c.tail)
+                stack.append(c)
+            if item.text:
+                stack.append(item.text)
+        return "".join(out)
 
     # --- find helpers (tiny subset of ElementPath) ----------------------------
     def find(self, path: str) -> Optional["Element"]:
@@ -244,13 +270,32 @@ class Element:
     # --- copying ---------------------------------------------------------------
     def copy_tree(self) -> "Element":
         "Deep copy of this element (detached: no parent)."
-        new = Element(self.tag, dict(self.attrib))
-        new.text, new.tail = self.text, self.tail
-        for child in self._children:
-            c = child.copy_tree()
-            c._parent = new
-            new._children.append(c)
-        return new
+        # iterative, __init__-bypassing clone: copy_tree is on the kernel's
+        # hot path (every cascade stage snapshots the tree, as the
+        # reference deepcopies, core.py:159-162)
+        cls = Element
+        root = cls.__new__(cls)
+        root.tag = self.tag
+        root.attrib = dict(self.attrib)
+        root.text, root.tail = self.text, self.tail
+        root._children = []
+        root._parent = None
+        stack = [(self, root)]
+        pop = stack.pop
+        while stack:
+            src, dst = pop()
+            dst_children = dst._children
+            for child in src._children:
+                c = cls.__new__(cls)
+                c.tag = child.tag
+                c.attrib = dict(child.attrib)
+                c.text, c.tail = child.text, child.tail
+                c._children = []
+                c._parent = dst
+                dst_children.append(c)
+                if child._children:
+                    stack.append((child, c))
+        return root
 
     def __deepcopy__(self, memo) -> "Element":
         return self.copy_tree()
