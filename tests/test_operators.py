@@ -244,3 +244,43 @@ def test_lsh_multitable_recall_on_clustered_data(spark):
     recall = len(true_pairs & got) / len(true_pairs)
     print(f"ANN recall@3 (clustered): {recall:.3f}")
     assert recall >= 0.6
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: latest right row at-or-before each left ts per key;
+    NULL payload when none; equal timestamps match (<= semantics)."""
+    from datetime import datetime
+
+    from trafilatura_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 100, 10.0),
+            (1, datetime(2024, 1, 5), 101, 11.0),
+            (2, datetime(2024, 1, 3), 200, 20.0),
+        ],
+        "k int, rts timestamp, okey int, price double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 4), "a"),   # between the two k=1 rows -> 100
+            (1, datetime(2024, 1, 5), "b"),   # equal ts -> 101 (<= matches)
+            (1, datetime(2023, 12, 1), "c"),  # before everything -> NULL
+            (2, datetime(2024, 2, 1), "d"),   # after -> 200
+            (3, datetime(2024, 1, 1), "e"),   # no right rows for key -> NULL
+        ],
+        "k int, lts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    payload_cols=["okey", "price"], tiebreak_col="okey")
+    got = {r.tag: (r.asof_okey, r.asof_price) for r in out.collect()}
+    assert got == {
+        "a": (100, 10.0),
+        "b": (101, 11.0),
+        "c": (None, None),
+        "d": (200, 20.0),
+        "e": (None, None),
+    }
+    # scale shape: the physical plan must contain no join operator
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan

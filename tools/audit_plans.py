@@ -124,6 +124,16 @@ def main() -> int:
     cols = rs.group(1) if rs else ""
     check("lang-id ngram scan pruned", bool(rs) and "source" not in cols and "lang" not in cols, cols[:200])
 
+    # as-of join: union + carry-forward window — must contain NO join
+    # operator at all (the range formulation would show BroadcastNestedLoop
+    # or a sort-merge-range explosion) and exactly one window shuffle
+    p = plan_of(Q.q_events_asof_orders(spark, sf_dir))
+    check(
+        "asof join has no join operator (union+window shape)",
+        "Join" not in p and "CartesianProduct" not in p,
+    )
+    check("asof join single window", p.count("Window") >= 1 and "RunningWindowFunction" not in p.split("Union")[0])
+
     # ANN multi-table: bucket join keys on bucket (no cartesian)
     p = plan_of(Q.ann_lsh_multitable_topk(spark, sf_dir))
     check("ann multitable no cartesian product", "CartesianProduct" not in p)

@@ -314,6 +314,62 @@ ORDER BY e.user_id
 """
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's latest order placed at
+    or before the event time — union + carry-forward window (ONE shuffle,
+    no range-join explosion; operators/relational.py), value-checked
+    against DuckDB's native ASOF JOIN.  Orders are first reduced to one
+    row per (custkey, orderdate) so the right side has unique (key, ts)
+    — equal-ts matches are otherwise ambiguous in both engines."""
+    from .operators.relational import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    reduced = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max(F.struct("o_orderkey", "o_totalprice")).alias("_m")
+    ).select(
+        "o_custkey", "o_orderdate",
+        F.col("_m.o_orderkey").alias("o_orderkey"),
+        F.col("_m.o_totalprice").alias("o_totalprice"),
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    out = asof_join(
+        events,
+        reduced,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        F.col("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round(F.col("asof_o_totalprice"), 2).alias("last_totalprice"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_SQL = """
+WITH reduced AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       r.o_orderkey AS last_orderkey,
+       ROUND(r.o_totalprice, 2) AS last_totalprice
+FROM events e
+ASOF LEFT JOIN reduced r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 # --- training-pipeline operators ------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +749,7 @@ SPARK_QUERIES = {
     "q_customers_without_orders": q_customers_without_orders,
     "q_rollup_returns": q_rollup_returns,
     "q_events_funnel": q_events_funnel,
+    "q_events_asof_orders": q_events_asof_orders,
     "dedup_exact": dedup_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
@@ -731,6 +788,7 @@ ORACLE_SQL = {
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
+    "q_events_asof_orders": Q_ASOF_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),
