@@ -196,3 +196,37 @@ def test_stateful_conversation_running_state(spark, tmp_path):
     # convA was finalized by the event-time timeout with its full totals
     a_final = [r for r in by_conv["convA"] if r.finalized]
     assert a_final and a_final[0].n_turns == 3 and a_final[0].max_turn_idx == 2
+
+
+def test_streaming_dedup_within_watermark(spark, small_df, tmp_path):
+    """At-least-once delivery: duplicated input turns are dropped by
+    dropDuplicatesWithinWatermark before extraction, so the streamed
+    output matches the UNIQUE turn set exactly."""
+    from trafilatura_spark.streaming.extract_stream import (
+        TRANSCRIPT_SCHEMA,
+        dedup_stream,
+        extract_stream_df,
+    )
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # duplicate EVERY row (a retried upstream delivery)
+    small_df.unionAll(small_df).write.parquet(inp)
+    n_unique = small_df.count()
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(inp)
+    deduped = dedup_stream(stream, watermark="1 hour")
+    extracted = extract_stream_df(deduped)
+    q = (
+        extracted.writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outp)
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique

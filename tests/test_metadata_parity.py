@@ -255,3 +255,36 @@ def test_find_date_url_query_parameter():
     assert find_date(tree, "https://ex.org/view.php?id=9&date=2021-07-09") == "2021-07-09"
     assert find_date(tree, "https://ex.org/a?published=20200229") == "2020-02-29"
     assert find_date(tree, "https://ex.org/a?id=20310229") is None  # not a date param
+
+
+def test_date_knobs_ride_options_through_bare_extract():
+    "Options.date_extensive / date_original reach find_date (core.py:344-351 analog)."
+    from trafilatura_spark.kernel import Options, bare_extract
+
+    # only free-text evidence: extensive on finds it, off yields None
+    doc = (
+        "<html><head><title>T – S</title></head><body><article>"
+        "<p>Posted on 12 March 2024 by a staff writer. "
+        "Body text long enough for the cascade to keep this page around.</p>"
+        "</article></body></html>"
+    )
+    on = bare_extract(doc, Options(min_extracted_size=0, with_metadata=True))
+    off = bare_extract(
+        doc, Options(min_extracted_size=0, with_metadata=True, date_extensive=False)
+    )
+    assert on.metadata.date == "2024-03-12"
+    assert off.metadata.date is None
+
+    # published vs later-modified disagreement: date_original decides
+    doc2 = (
+        '<html><head><title>T – S</title>'
+        '<meta property="article:published_time" content="2024-03-05"/>'
+        '<meta property="article:modified_time" content="2024-04-10"/></head>'
+        "<body><article><p>Body text long enough to pass the gates easily.</p></article></body></html>"
+    )
+    pub = bare_extract(doc2, Options(min_extracted_size=0, with_metadata=True))
+    upd = bare_extract(
+        doc2, Options(min_extracted_size=0, with_metadata=True, date_original=False)
+    )
+    assert pub.metadata.date == "2024-03-05"
+    assert upd.metadata.date == "2024-04-10"

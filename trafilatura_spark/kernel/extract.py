@@ -315,7 +315,13 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
         if options.with_metadata:
             from .metadata import extract_metadata
 
-            metadata = extract_metadata(tree, options.url, options.author_blacklist)
+            metadata = extract_metadata(
+                tree,
+                options.url,
+                options.author_blacklist,
+                date_extensive=options.date_extensive,
+                date_original=options.date_original,
+            )
 
             # per-job URL blacklist (reference core.py:414-417): the check
             # is against the EXTRACTED document URL — canonical/og:url from

@@ -859,9 +859,15 @@ def check_authors(author: Optional[str], author_blacklist) -> Optional[str]:
 
 
 def extract_metadata(
-    filecontent, default_url: Optional[str] = None, author_blacklist=frozenset()
+    filecontent,
+    default_url: Optional[str] = None,
+    author_blacklist=frozenset(),
+    date_extensive: bool = True,
+    date_original: bool = True,
 ) -> Metadata:
-    "Orchestrator (metadata.py:458-563; author_blacklist as in :471-474)."
+    """Orchestrator (metadata.py:458-563; author_blacklist as in
+    :471-474).  The date knobs mirror the reference's
+    date_extraction_params pass-through to htmldate (core.py:344-351)."""
     tree = load_html(filecontent)
     if tree is None:
         return Metadata()
@@ -888,7 +894,9 @@ def extract_metadata(
     if metadata.url:
         metadata.hostname = extract_domain(metadata.url)
     if not metadata.date:
-        metadata.date = find_date(tree, metadata.url)
+        metadata.date = find_date(
+            tree, metadata.url, extensive=date_extensive, original_date=date_original
+        )
     if not metadata.sitename:
         metadata.sitename = extract_sitename(tree)
     if metadata.sitename:

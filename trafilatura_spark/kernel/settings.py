@@ -49,6 +49,12 @@ class Options:
     # discarded as a mismatch); default False keeps the conservative
     # never-discard-on-thin-evidence behavior (kernel/langid.py)
     lang_strict: bool = False
+    # date-finding knobs (reference date_extraction_params passed to
+    # htmldate, core.py:344-351 / metadata.py:523-525): extensive=False
+    # disables the free-text/copyright rungs; original=False prefers the
+    # later modified stamp over the published one
+    date_extensive: bool = True
+    date_original: bool = True
     url: Optional[str] = None
     with_metadata: bool = False
     # sizes (settings.cfg:26-33)

@@ -353,6 +353,35 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per priority class —
+    Spark SQL `percentile` (exact, sort-based partial aggregation) against
+    DuckDB's quantile_cont.  Exact percentiles shuffle the values once,
+    grouped by key; at 100 TB the approx_percentile sketch is the drop-in
+    (same plan shape, mergeable sketch instead of a sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 Q_ASOF_SQL = """
 WITH reduced AS (
   SELECT o_custkey, o_orderdate,
@@ -750,6 +779,7 @@ SPARK_QUERIES = {
     "q_rollup_returns": q_rollup_returns,
     "q_events_funnel": q_events_funnel,
     "q_events_asof_orders": q_events_asof_orders,
+    "q_order_percentiles": q_order_percentiles,
     "dedup_exact": dedup_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
@@ -789,6 +819,7 @@ ORACLE_SQL = {
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
     "q_events_asof_orders": Q_ASOF_SQL,
+    "q_order_percentiles": Q_PERCENTILES_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),

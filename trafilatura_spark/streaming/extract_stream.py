@@ -78,6 +78,23 @@ def windowed_tier_metrics(stream_df: DataFrame, options: Options = DEFAULT_OPTIO
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    watermark: str = "30 minutes",
+    keys: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same
+    (conv_id, turn_idx) arriving within the watermark horizon —
+    Structured Streaming's dropDuplicatesWithinWatermark, so the dedup
+    state is BOUNDED (keys expire with the watermark) instead of growing
+    forever like a plain dropDuplicates would on an unbounded stream.
+    This is the streaming face of the exact-dedup operator: at-least-once
+    sources (Kafka, file backfills, retried upstream jobs) deliver
+    duplicates; the extraction cost per duplicate is saved by deduping
+    BEFORE the mapInPandas cascade."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def start_file_stream(
     spark: SparkSession,
     input_dir: str,
