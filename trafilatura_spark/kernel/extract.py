@@ -294,6 +294,20 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
 def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> ExtractionResult:
     "Per-document extraction with gates (core.py:290-491), returning text + tier."
     try:
+        # PDF payloads (north-rule "PDF/layout parse"): a from-scratch
+        # content-stream text reader (kernel/pdftext.py) — never the HTML
+        # parse, which would render PDF bytes as soup
+        from .pdftext import is_pdf
+
+        if is_pdf(filecontent):
+            from .pdftext import extract_pdf_text
+            from .textutils import sanitize
+
+            pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent)) or "")
+            if not pdf_text or len(pdf_text) < options.min_output_size:
+                return ExtractionResult(None, "pdf_empty", 0, 0)
+            return ExtractionResult(pdf_text, "pdf", len(pdf_text), 0)
+
         tree = load_html(filecontent)
         if tree is None:
             return ExtractionResult(None, "unparseable", 0, 0)
@@ -412,6 +426,10 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
     if result.text is None or (
         options.format in ("txt", "markdown") and not options.with_metadata
     ):
+        return result.text
+    if result.body is None:
+        # PDF-path results carry plain text and no DOM body: the
+        # format dispatcher has no tree to serialize
         return result.text
     from .formats import determine_returnstring
 

@@ -57,7 +57,12 @@ def wrap_if_fragment(text: str) -> str:
     A page is a full document when it starts with `<html` OR a doctype
     declaration — re-wrapping a doctype-prefixed page would nest its real
     `<head>` inside a second `<html><body>` shell where the meta scanners
-    don't look (reference load_html handles both, utils.py:234-278)."""
+    don't look (reference load_html handles both, utils.py:234-278).
+    PDF payloads (%PDF- magic) also pass through: the kernel routes them
+    to the content-stream text reader (kernel/pdftext.py), not the HTML
+    parse."""
+    if text[:5] == "%PDF-":
+        return text
     head = text.lstrip()[:15].lower()
     if head.startswith("<html") or head.startswith("<!doctype"):
         return text
