@@ -295,3 +295,67 @@ def try_readability(htmlinput: Element) -> Element:
         return ReadabilityExtractor(htmlinput, min_text_length=25, retry_length=250).summary()
     except Exception:
         return Element("div")
+
+
+# --- reader-ability pre-check (readability_lxml.py:410-471) -------------------
+
+_READERABLE_UNLIKELY_RE = re.compile(
+    r"-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|disqus|extra|"
+    r"footer|gdpr|header|legends|menu|related|remark|replies|rss|shoutbox|sidebar|"
+    r"skyscraper|social|sponsor|supplemental|ad-break|agegate|pagination|pager|popup|yom-remote",
+    re.I,
+)
+_READERABLE_MAYBE_RE = re.compile(r"and|article|body|column|content|main|shadow", re.I)
+_DISPLAY_NONE_RE = re.compile(r"display:\s*none", re.I)
+
+
+def is_node_visible(node: Element) -> bool:
+    "Style/attribute visibility check (readability_lxml.py:421-433)."
+    if _DISPLAY_NONE_RE.search(node.get("style") or ""):
+        return False
+    if "hidden" in node.attrib:
+        return False
+    if node.get("aria-hidden") == "true" and "fallback-image" not in (node.get("class") or ""):
+        return False
+    return True
+
+
+def is_probably_readerable(html, options: Optional[dict] = None) -> bool:
+    """Cheap reader-ability decision without running the extractor
+    (readability_lxml.py:436-471 / mozilla readability): sqrt-scored
+    text mass over visible p/pre/article and div>br nodes."""
+    from math import sqrt
+
+    from .loader import load_html
+
+    options = options or {}
+    doc = load_html(html)
+    if doc is None:
+        return False
+
+    min_content_length = options.get("min_content_length", 140)
+    min_score = options.get("min_score", 20)
+    visibility_checker = options.get("visibility_checker", is_node_visible)
+
+    nodes = list(dict.fromkeys(
+        list(doc.iterdescendants("p", "pre", "article"))
+        + [br.getparent() for br in doc.iterdescendants("br") if br.getparent() is not None and br.getparent().tag == "div"]
+    ))
+
+    score = 0.0
+    for node in nodes:
+        if not visibility_checker(node):
+            continue
+        class_and_id = f"{node.get('class') or ''} {node.get('id') or ''}"
+        if _READERABLE_UNLIKELY_RE.search(class_and_id) and not _READERABLE_MAYBE_RE.search(class_and_id):
+            continue
+        parent = node.getparent()
+        if node.tag == "p" and parent is not None and parent.tag == "li":
+            continue
+        text_content_length = len(node.text_content().strip())
+        if text_content_length < min_content_length:
+            continue
+        score += sqrt(text_content_length - min_content_length)
+        if score > min_score:
+            return True
+    return False
