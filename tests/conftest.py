@@ -16,6 +16,8 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
+        # catalog metadata for bucketed-table tests; keep it out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/tspark-test-warehouse")
         .appName("trafilatura-spark-tests")
         .getOrCreate()
     )
