@@ -85,3 +85,18 @@ def test_extract_facade_pdf_with_nontxt_format():
 
     out = extract(build_pdf(CONTENT), Options(min_extracted_size=0, format="json"))
     assert out and "Hello PDF world." in out
+
+
+def test_extract_transcripts_pdf_rows_end_to_end(spark):
+    "A PDF turn flows through the mapInPandas cascade as tier='pdf'."
+    from trafilatura_spark.operators.extract import extract_transcripts
+
+    pdf_payload = build_pdf(CONTENT).decode("latin-1")
+    html_payload = "<article><p>" + "plain html words " * 20 + "</p></article>"
+    df = spark.createDataFrame(
+        [("c1", 0, pdf_payload), ("c1", 1, html_payload)],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r.turn_idx: r for r in extract_transcripts(df).collect()}
+    assert rows[0].tier == "pdf" and "Hello PDF world." in rows[0].extracted_text
+    assert rows[1].tier in ("main", "baseline") and "plain html words" in rows[1].extracted_text
