@@ -1,0 +1,61 @@
+"""bench.py steal-window retry logic, pinned without Spark: fake leg
+walls and hardware probes drive scaling_section through both branches
+(quiet host -> no retry; stolen window -> one extra symmetric pair,
+bests kept)."""
+
+import importlib.util
+import sys
+
+
+def load_bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _patch(mod, walls, hw_values, monkeypatch):
+    "walls/hw_values are consumed in call order."
+    walls = list(walls)
+    hw_values = list(hw_values)
+    monkeypatch.setattr(mod, "ensure_scaling_corpus", lambda n: ("/tmp/fake", 100_000))
+    monkeypatch.setattr(mod, "_run_leg_subprocess", lambda cpus, path, n: walls.pop(0))
+    monkeypatch.setattr(mod, "hardware_throughput", lambda n, rounds=2: hw_values.pop(0))
+    return walls, hw_values
+
+
+def test_quiet_host_no_retry(monkeypatch):
+    mod = load_bench()
+    # order: high, low, high, low.  low=4 high=16; perfect scaling 4x
+    walls, hw = _patch(mod, [25.0, 100.0, 26.0, 101.0], [1.0, 3.8], monkeypatch)
+    out = mod.scaling_section(1000, 4, 16)
+    assert walls == [] and hw == []  # exactly 4 legs, 2 probes — no retry
+    assert out["scaling_efficiency"] == 1.0
+    assert out["wall_high"] == 25.0 and out["wall_low"] == 100.0
+
+
+def test_stolen_window_triggers_one_retry_pair(monkeypatch):
+    mod = load_bench()
+    # first 4 legs: high legs stolen (eff = (100/50)/4 = 0.5), control
+    # also degraded (hw_eff = 2.8/4 = 0.7 < 0.9) -> retry pair runs and
+    # recovers the high leg (25s -> eff 1.0); probes refresh to the best
+    walls, hw = _patch(
+        mod,
+        [50.0, 100.0, 52.0, 101.0, 25.0, 100.0],  # +1 retry (high, low) pair
+        [1.0, 2.8, 1.0, 3.9],  # low, high, then refreshed low, high
+        monkeypatch,
+    )
+    out = mod.scaling_section(1000, 4, 16)
+    assert walls == [] and hw == []  # retry pair + refreshed probes consumed
+    assert out["wall_high"] == 25.0 and out["wall_low"] == 100.0
+    assert out["scaling_efficiency"] == 1.0
+
+
+def test_stolen_job_but_quiet_control_does_not_retry(monkeypatch):
+    "A slow JOB in a quiet window is a real result — no retry laundering."
+    mod = load_bench()
+    walls, hw = _patch(mod, [50.0, 100.0, 52.0, 101.0], [1.0, 3.9], monkeypatch)
+    out = mod.scaling_section(1000, 4, 16)
+    assert walls == [] and hw == []
+    assert out["scaling_efficiency"] == 0.5  # recorded honestly

@@ -75,3 +75,37 @@ def test_plain_text_roundtrip_or_none(raw):
     result = bare_extract(f"<html><body>{raw}</body></html>")
     if result.text is not None:
         assert result.text == result.text.strip()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_pdf_extractor_total_on_arbitrary_bytes(blob):
+    "extract_pdf_text is TOTAL: any %PDF- prefixed payload yields a str."
+    from trafilatura_spark.kernel.pdftext import extract_pdf_text
+
+    out = extract_pdf_text(b"%PDF-1.4\n" + blob)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=1000))
+def test_pdf_stream_bodies_never_crash(blob):
+    "Arbitrary bytes inside a stream bracket (inflated or raw) never raise."
+    from trafilatura_spark.kernel.pdftext import extract_pdf_text
+
+    doc = b"%PDF-1.4\nstream\n" + blob + b"\nendstream\n%%EOF"
+    assert isinstance(extract_pdf_text(doc), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=300))
+def test_langid_total_on_arbitrary_text(raw):
+    "classify_language is total and strict mode labels any lettered text."
+    from trafilatura_spark.kernel.langid import classify_language
+
+    lenient = classify_language(raw)
+    strict = classify_language(raw, strict=True)
+    assert lenient is None or isinstance(lenient, str)
+    assert strict is None or isinstance(strict, str)
+    if lenient is not None:
+        assert strict is not None  # strict never knows LESS than default
