@@ -107,7 +107,7 @@ def test_try_justext_language_switch_extracts_content(lang):
 
 def test_stoplist_breadth():
     "Coverage floor: ~50 languages total, non-Latin scripts included."
-    assert len(LANG_STOPLISTS) + len(NOSPACE_STOPLISTS) >= 50
+    assert len(LANG_STOPLISTS) + len(NOSPACE_STOPLISTS) >= 57
     for lang in ("ar", "he", "el", "hi", "bn", "fa", "uk", "ta"):
         assert lang in LANG_STOPLISTS, lang
     for lang in ("zh", "ja", "th", "ko"):

@@ -41,6 +41,14 @@ LABELED_SAMPLES = {
     "ro": "Guvernul a anunțat că noile măsuri vor intra în vigoare luna viitoare și că cetățenii vor fi informați din timp.",
     "vi": "Chính phủ thông báo rằng các biện pháp mới sẽ có hiệu lực vào tháng tới và người dân sẽ được thông báo trước về mọi chi tiết.",
     "id": "Pemerintah mengumumkan bahwa langkah-langkah baru akan mulai berlaku bulan depan dan warga akan diberi tahu sebelumnya.",
+    # Indic-script breadth incl. the same-script Devanagari trio (hi/mr/ne)
+    "te": "ప్రభుత్వం కొత్త చర్యలు వచ్చే నెల నుండి అమలులోకి వస్తాయని ప్రకటించింది మరియు పౌరులకు ముందుగానే అన్ని వివరాలు తెలియజేయబడతాయి.",
+    "ml": "പുതിയ നടപടികൾ അടുത്ത മാസം മുതൽ പ്രാബല്യത്തിൽ വരുമെന്നും പൗരന്മാരെ മുൻകൂട്ടി എല്ലാ വിവരങ്ങളും അറിയിക്കുമെന്നും സർക്കാർ പ്രഖ്യാപിച്ചു.",
+    "kn": "ಹೊಸ ಕ್ರಮಗಳು ಮುಂದಿನ ತಿಂಗಳಿಂದ ಜಾರಿಗೆ ಬರಲಿವೆ ಮತ್ತು ನಾಗರಿಕರಿಗೆ ಮೊದಲೇ ಎಲ್ಲಾ ವಿವರಗಳನ್ನು ತಿಳಿಸಲಾಗುವುದು ಎಂದು ಸರ್ಕಾರ ಪ್ರಕಟಿಸಿದೆ.",
+    "gu": "સરકારે જાહેર કર્યું કે નવા પગલાં આવતા મહિનાથી અમલમાં આવશે અને નાગરિકોને પહેલેથી બધી વિગતો જણાવવામાં આવશે.",
+    "ne": "नयाँ उपायहरू अर्को महिनादेखि लागू हुनेछन् र नागरिकहरूलाई सबै विवरणहरू पहिले नै जानकारी गराइनेछ भनेर सरकारले घोषणा गर्यो।",
+    "mr": "नवीन उपाय पुढील महिन्यापासून लागू होतील आणि नागरिकांना सर्व तपशील आधीच कळवले जातील असे सरकारने जाहीर केले.",
+    "bn": "সরকার ঘোষণা করেছে যে নতুন ব্যবস্থা আগামী মাস থেকে কার্যকর হবে এবং নাগরিকদের আগে থেকেই সব বিবরণ জানানো হবে।",
 }
 
 

@@ -255,6 +255,29 @@ vēl tikai jau vai kur kad visi savs tā šis arī kas to tie tās
 உள்ள இல்லை இருந்து வரை மிகவும் இன்னும் மட்டும் ஏற்கனவே இங்கே அங்கே இருந்தது பின்னர் முன்
 இல்லாமல் மேலும் என்ன எப்படி எங்கே ஆகும் ஆக
 """,
+    "te": """
+మరియు ఈ ఆ ఒక అని అది ఇది నేను నీవు మేము వారు కానీ లేదా కోసం లో నుండి వరకు చాలా ఇంకా
+మాత్రమే ఇప్పటికే ఇక్కడ అక్కడ ఉంది ఉన్నాయి తరువాత ముందు లేకుండా కూడా ఏమి ఎలా ఎక్కడ
+అవుతుంది గా పై తో కాదు అన్ని
+""",
+    "ml": """
+ഒരു ഈ ആ എന്ന് അത് ഇത് ഞാൻ നീ നമ്മൾ അവർ പക്ഷേ അല്ലെങ്കിൽ വേണ്ടി ൽ നിന്ന് വരെ വളരെ
+ഇനിയും മാത്രം ഇതിനകം ഇവിടെ അവിടെ ഉണ്ട് ആയിരുന്നു ശേഷം മുമ്പ് ഇല്ലാതെ കൂടാതെ എന്ത്
+എങ്ങനെ എവിടെ ആണ് അല്ല എല്ലാ ഉം ഒപ്പം
+""",
+    "kn": """
+ಮತ್ತು ಈ ಆ ಒಂದು ಎಂದು ಅದು ಇದು ನಾನು ನೀನು ನಾವು ಅವರು ಆದರೆ ಅಥವಾ ಗಾಗಿ ನಲ್ಲಿ ಇಂದ ವರೆಗೆ ತುಂಬಾ
+ಇನ್ನೂ ಮಾತ್ರ ಈಗಾಗಲೇ ಇಲ್ಲಿ ಅಲ್ಲಿ ಇದೆ ಇತ್ತು ನಂತರ ಮೊದಲು ಇಲ್ಲದೆ ಸಹ ಏನು ಹೇಗೆ ಎಲ್ಲಿ ಆಗಿದೆ
+ಅಲ್ಲ ಎಲ್ಲಾ ಕೂಡ
+""",
+    "gu": """
+અને આ તે એક કે છે હતું હું તું અમે તેઓ પણ અથવા માટે માં થી સુધી ખૂબ હજી માત્ર પહેલેથી
+અહીં ત્યાં પછી પહેલાં વગર શું કેવી ક્યાં છું હતા નથી બધા સાથે પર જે જેમ
+""",
+    "ne": """
+र यो त्यो एउटा भनेर यसले म तिमी हामी उनीहरू तर वा लागि मा बाट सम्म धेरै अझै मात्र पहिले
+यहाँ त्यहाँ छ थियो पछि अगाडि बिना के कसरी कहाँ हो होइन सबै साथ छन् गरेको गर्न भने पनि
+""",
     "sw": """
 na ya wa kwa ni za katika la cha hii hiyo huo ile kama lakini au ambayo wake wangu wao sisi
 wewe yeye kuwa alikuwa ana hana kila sana zaidi tu bado hapa pale baada kabla bila kati yake
