@@ -288,3 +288,20 @@ def test_date_knobs_ride_options_through_bare_extract():
     )
     assert pub.metadata.date == "2024-03-05"
     assert upd.metadata.date == "2024-04-10"
+
+
+def test_find_date_romance_month_names():
+    "French/Spanish/Italian textual dates parse (htmldate multilingual vocabulary)."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    cases = {
+        "<p>Publié le 5 juillet 2023 par la rédaction.</p>": "2023-07-05",
+        "<p>Publicado el 17 de agosto de 2021.</p>": None,  # 'de'-infix form not covered
+        "<p>Publicado: 17 agosto 2021.</p>": "2021-08-17",
+        "<p>Pubblicato il 3 settembre 2022.</p>": "2022-09-03",
+        "<p>Mise à jour: 1er février 2024.</p>": "2024-02-01",
+    }
+    for frag, expected in cases.items():
+        tree = load_html(f"<html><body>{frag}</body></html>")
+        assert find_date(tree) == expected, frag

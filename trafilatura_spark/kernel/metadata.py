@@ -641,9 +641,19 @@ _MONTHS = {
     # German month names (htmldate covers German-language pages)
     "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "mai": 5, "juni": 6,
     "juli": 7, "oktober": 10, "dezember": 12,
+    # French
+    "janvier": 1, "février": 2, "fevrier": 2, "avril": 4, "juin": 6,
+    "juillet": 7, "août": 8, "aout": 8, "septembre": 9, "octobre": 10,
+    "novembre": 11, "décembre": 12, "decembre": 12,
+    # Spanish
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "septiembre": 9, "octubre": 10, "noviembre": 11, "diciembre": 12,
+    # Italian (agosto/novembre shared with es/fr above)
+    "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5, "giugno": 6,
+    "luglio": 7, "agosto": 8, "settembre": 9, "ottobre": 10, "dicembre": 12,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
-_TEXT_DMY_RE = re.compile(rf"\b(\d{{1,2}})\.?(?:st|nd|rd|th)?\s+({_MONTH_ALT})\.?,?\s+(\d{{4}})\b", re.I)
+_TEXT_DMY_RE = re.compile(rf"\b(\d{{1,2}})\.?(?:st|nd|rd|th|er)?\s+({_MONTH_ALT})\.?,?\s+(\d{{4}})\b", re.I)
 _TEXT_MDY_RE = re.compile(rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b", re.I)
 _URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:[/.-]|$)")
 _URL_ISO_RE = re.compile(r"[/-](\d{4})-(\d{1,2})-(\d{1,2})(?:[/.-]|$)")
