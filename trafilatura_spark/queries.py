@@ -736,6 +736,47 @@ FROM documents
 """
 
 
+def extract_documents_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked PDF extraction: each document's text (ASCII-
+    sanitized, escape characters removed so it is a valid PDF literal
+    string) is embedded as an UNCOMPRESSED content stream and run through
+    the full Spark pipeline — wrap detection routes %PDF- payloads to the
+    from-scratch PDF reader (kernel/pdftext.py), emitting tier='pdf'.
+    The DuckDB twin states the expected text directly: the kernel's
+    sanitize+NFC over a single-line ASCII payload reduces to
+    whitespace-collapse + trim."""
+    from .operators.extract import extract_transcripts
+
+    clean = F.regexp_replace(F.col("text"), r"[^ -~]|[()\\]", " ")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("%PDF-1.4\nstream\nBT ("),
+            clean,
+            F.lit(") Tj ET\nendstream\n%%EOF"),
+        ).alias("text"),
+    )
+    out = extract_transcripts(docs, num_partitions=32)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extracted_text"),
+        F.col("tier"),
+    )
+
+
+EXTRACT_DOCS_PDF_SQL = """
+SELECT doc_id,
+       NULLIF(nfc_normalize(trim(regexp_replace(
+           regexp_replace(text, '[^ -~]|[()\\\\]', ' ', 'g'), '\\s+', ' ', 'g'))), '')
+         AS extracted_text,
+       CASE WHEN trim(regexp_replace(
+           regexp_replace(text, '[^ -~]|[()\\\\]', ' ', 'g'), '\\s+', ' ', 'g')) = ''
+            THEN 'pdf_empty' ELSE 'pdf' END AS tier
+FROM documents
+"""
+
+
 def extract_turn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata struct per transcript turn (rows-only oracle: full ladder).
 
@@ -803,6 +844,7 @@ SPARK_QUERIES = {
     "extract_documents_markdown": extract_documents_markdown,
     "extract_documents_metadata": extract_documents_metadata,
     "extract_documents_with_metadata": extract_documents_with_metadata,
+    "extract_documents_pdf": extract_documents_pdf,
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
     "extract_tier_metrics": extract_tier_metrics,
@@ -844,6 +886,7 @@ ORACLE_SQL = {
     "extract_documents_markdown": EXTRACT_DOCS_MD_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     "extract_documents_with_metadata": EXTRACT_DOCS_WITH_META_SQL,
+    "extract_documents_pdf": EXTRACT_DOCS_PDF_SQL,
     # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
     # non-SQL-expressible (full cascade); driver records rows-only checks
 }
