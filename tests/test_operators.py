@@ -284,3 +284,73 @@ def test_asof_join_semantics(spark):
     # scale shape: the physical plan must contain no join operator
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_nullable_payload_no_tearing(spark):
+    """Round-3 VERDICT bug class: with per-column carry, a latest right
+    row (a=5, b=NULL) and an older row (b=7) produced the torn composite
+    (5, 7).  The struct carry must return (5, NULL) — all payload columns
+    from the SAME right row — while keeping no-match rows fully NULL."""
+    from datetime import datetime
+
+    from trafilatura_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), 1, 7.0),     # older row: b=7
+            (1, datetime(2024, 1, 5), 5, None),    # latest row: b=NULL
+            (2, datetime(2024, 1, 2), None, 9.0),  # latest for k=2: a=NULL
+        ],
+        "k int, rts timestamp, a int, b double",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 9), "x"),   # after latest k=1 -> (5, NULL)
+            (1, datetime(2024, 1, 2), "y"),   # between -> (1, 7.0)
+            (2, datetime(2024, 1, 3), "z"),   # -> (NULL, 9.0), matched
+            (3, datetime(2024, 1, 3), "w"),   # no key -> (NULL, NULL), no match
+        ],
+        "k int, lts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    payload_cols=["a", "b"], tiebreak_col="a")
+    got = {r.tag: (r.asof_a, r.asof_b) for r in out.collect()}
+    assert got == {
+        "x": (5, None),     # NOT the torn (5, 7.0)
+        "y": (1, 7.0),
+        "z": (None, 9.0),   # matched row with a NULL field survives
+        "w": (None, None),
+    }
+
+
+def test_asof_join_hot_key_single_shuffle(spark):
+    """Skew story (round-3 VERDICT item 4): a hot key serializes in ONE
+    window task — inherent to per-key as-of, not AQE-splittable.  Pin the
+    plan shape on a hot-key input: exactly one Exchange (the window
+    shuffle), one Window, no join operator."""
+    from datetime import datetime, timedelta
+
+    from trafilatura_spark.operators.relational import asof_join
+
+    base = datetime(2024, 1, 1)
+    # 2000 left rows on ONE key, 10 right rows on the same key
+    left = spark.createDataFrame(
+        [(1, base + timedelta(minutes=i), i) for i in range(2000)],
+        "k int, lts timestamp, seq int",
+    )
+    right = spark.createDataFrame(
+        [(1, base + timedelta(hours=3 * j), j, float(j)) for j in range(10)],
+        "k int, rts timestamp, okey int, price double",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    payload_cols=["okey", "price"], tiebreak_col="okey")
+    rows = out.collect()  # executedPlan must come from the collected df
+    assert len(rows) == 2000
+    # spot-check the carry on the hot key
+    got = {r.seq: r.asof_okey for r in rows}
+    assert got[0] == 0 and got[179] == 0 and got[180] == 1 and got[1999] == 9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "Join" not in final_plan and "CartesianProduct" not in final_plan
+    assert final_plan.count("Exchange") == 1, final_plan
+    assert final_plan.count("Window") >= 1

@@ -353,6 +353,64 @@ def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_events_asof_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with NULL-bearing payload columns: o_totalprice is
+    deterministically nullified (orderkey % 7 == 0) BEFORE the join, so
+    the carried payload must stay one coherent right row — a per-column
+    carry would stitch the latest orderkey with an older row's price.
+    Value-checked against DuckDB ASOF JOIN over identically-nullified
+    input (catches the round-3 row-tearing bug class)."""
+    from .operators.relational import asof_join
+
+    orders = _t(spark, sf_dir, "orders")
+    reduced = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max(F.struct("o_orderkey", "o_totalprice")).alias("_m")
+    ).select(
+        "o_custkey", "o_orderdate",
+        F.col("_m.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("_m.o_orderkey") % 7 == 0, F.lit(None))
+         .otherwise(F.col("_m.o_totalprice")).alias("o_totalprice"),
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    out = asof_join(
+        events,
+        reduced,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        F.col("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round(F.col("asof_o_totalprice"), 2).alias("last_totalprice"),
+    ).orderBy("event_id")
+
+
+Q_ASOF_NULLS_SQL = """
+WITH reduced AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         CASE WHEN MAX(o_orderkey) % 7 = 0 THEN NULL
+              ELSE arg_max(o_totalprice, o_orderkey) END AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       r.o_orderkey AS last_orderkey,
+       ROUND(r.o_totalprice, 2) AS last_totalprice
+FROM events e
+ASOF LEFT JOIN reduced r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of order value per priority class —
     Spark SQL `percentile` (exact, sort-based partial aggregation) against
@@ -820,6 +878,7 @@ SPARK_QUERIES = {
     "q_rollup_returns": q_rollup_returns,
     "q_events_funnel": q_events_funnel,
     "q_events_asof_orders": q_events_asof_orders,
+    "q_events_asof_nulls": q_events_asof_nulls,
     "q_order_percentiles": q_order_percentiles,
     "dedup_exact": dedup_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
@@ -861,6 +920,7 @@ ORACLE_SQL = {
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
     "q_events_asof_orders": Q_ASOF_SQL,
+    "q_events_asof_nulls": Q_ASOF_NULLS_SQL,
     "q_order_percentiles": Q_PERCENTILES_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
