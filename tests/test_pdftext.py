@@ -87,6 +87,118 @@ def test_extract_facade_pdf_with_nontxt_format():
     assert out and "Hello PDF world." in out
 
 
+def test_et_inside_shown_string_not_truncated():
+    """Round-3 ADVICE (medium): the old BT(.*?)ET regex stopped at the
+    'ET' byte pair inside a literal string, dropping the whole show.
+    The lexer treats strings as tokens, so uppercase text survives."""
+    content = b"BT /F1 12 Tf (GET STARTED NOW) Tj 0 -14 Td (MARKET NETWORK) Tj ET"
+    text = extract_pdf_text(build_pdf(content, compress=False))
+    assert "GET STARTED NOW" in text
+    assert "MARKET NETWORK" in text
+
+
+def test_bare_positioning_tokens_inside_strings_no_spurious_newlines():
+    "'Td' as string CONTENT is data, not a line break (round-3 ADVICE)."
+    content = b"BT (a Td b T* c TD d) Tj ET"
+    text = extract_pdf_text(build_pdf(content, compress=False))
+    assert text == "a Td b T* c TD d"
+
+
+def test_hex_string_show():
+    "<hex> literal strings decode like latin-1 byte strings (simple fonts)."
+    content = b"BT <48656C6C6F2068657821> Tj T* [<4279> -80 (tes)] TJ ET"
+    text = extract_pdf_text(build_pdf(content, compress=False))
+    assert "Hello hex!" in text and "Bytes" in text
+    # odd digit count: final digit padded with 0 per ISO 32000
+    assert extract_pdf_text(build_pdf(b"BT <484950> Tj <5> Tj ET", compress=False)).startswith("HIP")
+
+
+def build_cid_pdf(content: bytes, cmap_body: bytes) -> bytes:
+    "Minimal Type0/CID PDF: /F1 carries a ToUnicode CMap, /F2 is simple."
+    cm = zlib.compress(cmap_body)
+    body = content
+    return (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R\n"
+        b"   /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /TestCID\n"
+        b"   /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Filter /FlateDecode /Length " + str(len(cm)).encode() + b" >>\n"
+        b"stream\n" + cm + b"\nendstream\nendobj\n"
+        b"7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"3 beginbfchar\n<0001> <0048>\n<0002> <0065>\n<0003> <006F>\nendbfchar\n"
+    b"2 beginbfrange\n"
+    b"<0010> <0012> <006C>\n"            # 0010->l 0011->m 0012->n (incrementing)
+    b"<0020> <0021> [<0057> <00660069>]\n"  # array form incl. a ligature target
+    b"endbfrange\nendcmap\n"
+)
+
+
+def test_tounicode_bfchar_bfrange_cid_decode():
+    "Type0 show strings decode through the ToUnicode CMap (2-byte codes)."
+    content = b"BT /F1 12 Tf <00010002001000100003> Tj ET"
+    text = extract_pdf_text(build_cid_pdf(content, CMAP))
+    assert text == "Hello"
+
+
+def test_tounicode_bfrange_increment_and_array():
+    content = b"BT /F1 12 Tf <0011001200200021> Tj ET"
+    text = extract_pdf_text(build_cid_pdf(content, CMAP))
+    assert text == "mnWfi"  # increment run + array form + multi-char ligature
+
+
+def test_font_switch_resets_cmap():
+    "Tf back to a simple font returns to byte-per-glyph decoding."
+    content = b"BT /F1 12 Tf <0001> Tj /F2 12 Tf ( plain) Tj ET"
+    text = extract_pdf_text(build_cid_pdf(content, CMAP))
+    assert text == "H plain"
+
+
+def test_unmapped_cid_skipped_not_garbage():
+    "Codes outside the CMap yield no text (never mojibake byte pairs)."
+    content = b"BT /F1 12 Tf <0001FFFE0002> Tj ET"
+    text = extract_pdf_text(build_cid_pdf(content, CMAP))
+    assert text == "He"
+
+
+def test_encrypted_pdf_labeled_not_parsed():
+    from trafilatura_spark.kernel.pdftext import is_encrypted
+
+    enc = (
+        b"%PDF-1.6\n"
+        b"1 0 obj << /Type /Catalog >> endobj\n"
+        b"4 0 obj << /Length 20 >>\nstream\nBT (secret) Tj ET\nendstream\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+    )
+    assert is_encrypted(enc)
+    assert extract_pdf_text(enc) == ""
+    res = bare_extract(enc, Options(min_extracted_size=0))
+    assert res.text is None and res.tier == "pdf_encrypted"
+    assert not is_encrypted(build_pdf(CONTENT))
+
+
+def test_whitespace_prefixed_pdf_routes_to_pdf_reader():
+    "Round-3 VERDICT item 7: leading whitespace must not demote a PDF to HTML."
+    from trafilatura_spark.operators.extract import extract_one
+
+    payload = "\n  \t" + build_pdf(CONTENT).decode("latin-1")
+    assert is_pdf(payload)
+    text, tier, _ = extract_one(payload, Options(min_extracted_size=0))
+    assert tier == "pdf" and "Hello PDF world." in text
+
+
 def test_extract_transcripts_pdf_rows_end_to_end(spark):
     "A PDF turn flows through the mapInPandas cascade as tier='pdf'."
     from trafilatura_spark.operators.extract import extract_transcripts

@@ -2,21 +2,31 @@
 parse" path).
 
 No PDF library exists in this environment, so this is a self-contained
-reader of the PDF text model (ISO 32000, public): content streams are
+reader of the PDF text model (ISO 32000, public).  Content streams are
 located by their stream/endstream brackets, FlateDecode streams are
-inflated with stdlib zlib, and text is recovered from the text-showing
-operators inside BT..ET blocks:
+inflated with stdlib zlib, and the stream is LEXED into PDF tokens
+(literal strings with nesting+escapes, <hex> strings, /names, numbers,
+operators) — never regex-scanned for operator byte pairs, so a shown
+string containing 'ET' or 'Td' cannot truncate a text block or fake a
+line break.  Text is recovered from the text-showing operators between
+BT..ET:
 
-  (string) Tj        show string
-  (string) ' / "     next-line + show
-  [(a) -120 (b)] TJ  show array with kerning
-  Td / TD / T* / TL  line-positioning operators -> line breaks
+  (string) Tj / <hex> Tj   show string
+  (string) ' / "           next-line + show
+  [(a) -120 (b)] TJ        show array with kerning
+  Td / TD / T*             line-positioning operators -> line breaks
+  /F1 12 Tf                font selection (drives CMap decoding)
 
-Escapes (\\n, \\(, \\), \\\\, octal \\ooo) are decoded; literal strings
-only (hex <...> strings are rare for text and skipped).  Scope: simple
-fonts with standard encodings — the overwhelming majority of text-
-bearing machine-generated PDFs; CID/Type0 composite-font PDFs yield
-whatever ASCII survives, never a crash.
+Simple fonts decode byte-per-glyph (PDFDocEncoding is latin-1-compatible
+in the printable range).  CID/Type0 composite fonts are decoded through
+their /ToUnicode CMap when present (beginbfchar / beginbfrange, the
+self-contained public CMap subset): the object graph is scanned for
+Resources /Font name -> font object -> ToUnicode stream, and shown bytes
+are mapped in codespacerange-sized units to UTF-16BE targets.  Composite
+fonts WITHOUT a ToUnicode map still yield no text (declared gap: full
+predefined-CMap tables are out of scope).  Encrypted PDFs (trailer
+/Encrypt) are detected and refused — the kernel labels them
+tier='pdf_encrypted' instead of emitting string-key garbage.
 
 The Spark face: operators/extract.py routes %PDF- payloads here before
 the HTML wrap, emitting tier='pdf' rows through the same mapInPandas
@@ -27,94 +37,379 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Union
+from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 PDF_MAGIC = b"%PDF-"
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.S)
-# literal string followed by a text-showing operator
-_SHOW_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*(Tj|'|\")"  # (s) Tj / ' / "
-    rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ"  # [(a) -120 (b)] TJ
-    rb"|(T\*|Td|TD)",  # line-positioning -> newline
-    re.S,
-)
-_ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
-_OCTAL_RE = re.compile(rb"\\([0-7]{1,3})")
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_REF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_TRAILER_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.S)
+_HEXITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+_WS = frozenset(b"\x00\t\n\x0c\r ")
 _ESCAPES = {
-    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
-    b"(": b"(", b")": b")", b"\\": b"\\",
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
 }
 
 
 def is_pdf(payload: Union[bytes, str, None]) -> bool:
+    """True for %PDF- payloads, tolerating leading whitespace (Acrobat
+    leniency; round-3 VERDICT item 7).  Only the head is inspected —
+    this runs on every document in the hot path."""
     if isinstance(payload, bytes):
-        return payload[:5] == PDF_MAGIC
+        return payload[:1024].lstrip()[:5] == PDF_MAGIC
     if isinstance(payload, str):
-        return payload[:5] == "%PDF-"
+        return payload[:1024].lstrip()[:5] == "%PDF-"
     return False
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    "Decode a literal-string body: escapes, octal, line continuations."
+def is_encrypted(payload: Union[bytes, str]) -> bool:
+    """True when the trailer (or, for cross-reference-stream PDFs, the
+    file tail) carries an /Encrypt reference.  String keys are not
+    implemented — callers label these instead of parsing garbage."""
+    data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
+    for m in _TRAILER_RE.finditer(data):
+        if b"/Encrypt" in m.group(1):
+            return True
+    return _ENCRYPT_RE.search(data[-4096:]) is not None
+
+
+# --- content-stream lexer ---------------------------------------------------
+
+def _parse_literal(data: bytes, i: int) -> Tuple[bytes, int]:
+    """Parse a literal string starting at data[i] == '(' with balanced
+    unescaped parens; returns (escape-resolved raw bytes, next index)."""
+    n = len(data)
+    i += 1
+    depth = 1
     out = bytearray()
-    i, n = 0, len(raw)
     while i < n:
-        b = raw[i : i + 1]
-        if b == b"\\" and i + 1 < n:
-            m = _OCTAL_RE.match(raw, i)
-            if m:
-                out.append(int(m.group(1), 8) & 0xFF)
-                i = m.end()
+        b = data[i]
+        if b == 0x5C and i + 1 < n:  # backslash
+            nxt = data[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal \ooo (1-3 digits)
+                j = i + 1
+                val = 0
+                while j < n and j < i + 4 and 0x30 <= data[j] <= 0x37:
+                    val = val * 8 + (data[j] - 0x30)
+                    j += 1
+                out.append(val & 0xFF)
+                i = j
                 continue
-            nxt = raw[i + 1 : i + 2]
-            if nxt in (b"\n", b"\r"):  # line continuation
+            if nxt in (0x0A, 0x0D):  # line continuation
                 i += 2
-                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                if nxt == 0x0D and i < n and data[i] == 0x0A:
                     i += 1
                 continue
-            out.extend(_ESCAPES.get(nxt, nxt))
+            out.extend(_ESCAPES.get(nxt, bytes((nxt,))))
             i += 2
             continue
-        out.extend(b)
+        if b == 0x28:  # (
+            depth += 1
+        elif b == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out.append(b)
         i += 1
-    # PDFDocEncoding is latin-1-compatible in the printable range
-    return out.decode("latin-1", errors="replace")
+    return bytes(out), i
 
 
-def _text_of_block(block: bytes) -> str:
-    parts: list = []
-    for m in _SHOW_RE.finditer(block):
-        if m.group(1) is not None:  # (s) Tj / ' / "
-            if m.group(2) in (b"'", b'"') and parts and parts[-1] != "\n":
-                parts.append("\n")
-            parts.append(_decode_pdf_string(m.group(1)))
-        elif m.group(3) is not None:  # [(..) .. (..)] TJ
-            parts.append(
-                "".join(_decode_pdf_string(s.group(1)) for s in _ARRAY_STR_RE.finditer(m.group(3)))
-            )
-        else:  # Td / TD / T*
-            if parts and parts[-1] != "\n":
-                parts.append("\n")
-    return "".join(parts)
+def _tokens(data: bytes) -> Iterator[Tuple[str, object]]:
+    "Lex a content stream into ('str'|'hex'|'name'|'num'|'op'|'['|']'|'<<'|'>>', value)."
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == 0x28:  # ( literal string
+            s, i = _parse_literal(data, i)
+            yield ("str", s)
+        elif c == 0x3C:  # < : dict or hex string
+            if data[i + 1 : i + 2] == b"<":
+                yield ("<<", None)
+                i += 2
+            else:
+                j = data.find(b">", i)
+                if j < 0:
+                    break
+                body = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+                if len(body) % 2:  # odd count: final digit padded with 0
+                    body += b"0"
+                try:
+                    yield ("hex", bytes.fromhex(body.decode("ascii")))
+                except ValueError:
+                    pass
+                i = j + 1
+        elif c == 0x3E:  # >
+            if data[i + 1 : i + 2] == b">":
+                yield (">>", None)
+                i += 2
+            else:
+                i += 1
+        elif c == 0x5B:  # [
+            yield ("[", None)
+            i += 1
+        elif c == 0x5D:  # ]
+            yield ("]", None)
+            i += 1
+        elif c == 0x2F:  # /name
+            m = _NAME_RE.match(data, i)
+            yield ("name", m.group()[1:].decode("latin-1"))
+            i = m.end()
+        elif 0x30 <= c <= 0x39 or c in (0x2B, 0x2D, 0x2E):
+            m = _NUM_RE.match(data, i)
+            if m:
+                yield ("num", m.group())
+                i = m.end()
+            else:
+                i += 1
+        else:
+            m = _OP_RE.match(data, i)
+            if m:
+                yield ("op", m.group())
+                i = m.end()
+            else:
+                i += 1  # {, } and stray bytes
+
+
+# --- ToUnicode CMaps ---------------------------------------------------------
+
+CMap = Tuple[Dict[bytes, str], List[int]]  # byte-code -> text, code lengths desc
+
+_MAX_BFRANGE = 65536
+
+
+def _utf16(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", errors="replace")
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(data: bytes) -> Optional[CMap]:
+    "Parse the bfchar/bfrange subset of a ToUnicode CMap stream."
+    mapping: Dict[bytes, str] = {}
+    lens = set()
+    for m in re.finditer(rb"begincodespacerange(.*?)endcodespacerange", data, re.S):
+        for h in re.finditer(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            lens.add(len(h.group(1)) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        hexes = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            if len(src) % 2:
+                continue
+            key = bytes.fromhex(src.decode("ascii"))
+            mapping[key] = _utf16(dst)
+            lens.add(len(key))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        items = list(_HEXITEM_RE.finditer(m.group(1)))
+        k = 0
+        while k + 2 < len(items):
+            lo_m, hi_m, nxt = items[k], items[k + 1], items[k + 2]
+            if not (lo_m.group(1) and hi_m.group(1)):
+                k += 1
+                continue
+            lo_h, hi_h = lo_m.group(1), hi_m.group(1)
+            if len(lo_h) % 2 or len(lo_h) != len(hi_h):
+                k += 2
+                continue
+            width = len(lo_h) // 2
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            span = min(hi - lo, _MAX_BFRANGE)
+            if nxt.group(2):  # <lo> <hi> [ <d1> <d2> ... ]: per-code targets
+                k += 3
+                dsts = []
+                while k < len(items) and items[k].group(1):
+                    dsts.append(items[k].group(1))
+                    k += 1
+                if k < len(items) and items[k].group(3):  # closing ]
+                    k += 1
+                for off, dst in enumerate(dsts[: span + 1]):
+                    key = (lo + off).to_bytes(width, "big")
+                    mapping[key] = _utf16(dst)
+                    lens.add(width)
+            elif nxt.group(1):  # <lo> <hi> <dst>: incrementing target
+                dst_h = nxt.group(1)
+                base = int(dst_h, 16)
+                dwidth = len(dst_h)
+                for off in range(span + 1):
+                    key = (lo + off).to_bytes(width, "big")
+                    mapping[key] = _utf16(b"%0*X" % (dwidth, base + off))
+                    lens.add(width)
+                k += 3
+            else:
+                k += 2
+    if not mapping:
+        return None
+    if not lens:
+        lens = {max(len(key) for key in mapping)}
+    return mapping, sorted(lens, reverse=True)
+
+
+def _inflate(raw: bytes) -> bytes:
+    try:
+        return zlib.decompress(raw)  # FlateDecode
+    except zlib.error:
+        return raw  # uncompressed content stream
+
+
+def _font_cmaps(data: bytes) -> Dict[str, CMap]:
+    """Resource font name -> ToUnicode CMap, from the object graph:
+    /Font << /F1 N 0 R >> dicts name fonts, font objects reference their
+    /ToUnicode stream.  Names are global last-wins — per-page resource
+    scoping is out of scope for this labeled simple reader."""
+    objs: Dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    fonts: Dict[str, CMap] = {}
+    for fd in _FONT_DICT_RE.finditer(data):
+        for ref in _FONT_REF_RE.finditer(fd.group(1)):
+            body = objs.get(int(ref.group(2)))
+            if body is None:
+                continue
+            tu = _TOUNICODE_RE.search(body)
+            if not tu:
+                continue
+            tubody = objs.get(int(tu.group(1)))
+            if tubody is None:
+                continue
+            sm = _STREAM_RE.search(tubody)
+            if not sm:
+                continue
+            cmap = _parse_cmap(_inflate(sm.group(1)))
+            if cmap:
+                fonts[ref.group(1).decode("latin-1")] = cmap
+    return fonts
+
+
+# --- text interpreter --------------------------------------------------------
+
+def _decode_shown(raw: bytes, cmap: Optional[CMap]) -> str:
+    """Map shown bytes to text: through the active font's ToUnicode CMap
+    in codespacerange-sized units, else byte-per-glyph latin-1
+    (PDFDocEncoding-compatible in the printable range)."""
+    if cmap is None:
+        return raw.decode("latin-1", errors="replace")
+    mapping, lens = cmap
+    out: List[str] = []
+    i, n = 0, len(raw)
+    min_len = lens[-1]
+    while i < n:
+        for L in lens:
+            chunk = raw[i : i + L]
+            if len(chunk) == L and chunk in mapping:
+                out.append(mapping[chunk])
+                i += L
+                break
+        else:
+            if min_len == 1:  # simple-font range of a mixed map
+                out.append(chr(raw[i]))
+            i += min_len  # unmapped CID: skip, never emit garbage bytes
+    return "".join(out)
+
+
+def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
+    "Interpret one content stream: text of each BT..ET block, in order."
+    blocks: List[str] = []
+    parts: Optional[List[str]] = None
+    operands: List[Tuple[str, object]] = []
+    arr: Optional[List[Tuple[str, object]]] = None
+    cur_map: Optional[CMap] = None
+
+    def last_string() -> Optional[bytes]:
+        for kind, val in reversed(operands):
+            if kind in ("str", "hex"):
+                return val  # type: ignore[return-value]
+        return None
+
+    def newline() -> None:
+        if parts and parts[-1] != "\n":
+            parts.append("\n")
+
+    for kind, val in _tokens(content):
+        if kind != "op":
+            tok = (kind, val)
+            if kind == "[":
+                arr = []
+            elif kind == "]":
+                if arr is not None:
+                    operands.append(("arr", arr))
+                    arr = None
+            elif arr is not None:
+                arr.append(tok)
+            else:
+                operands.append(tok)
+            continue
+        op = val
+        if op == b"BT":
+            parts = []
+        elif op == b"ET":
+            if parts is not None:
+                blocks.append("".join(parts))
+            parts = None
+        elif op == b"Tf":
+            for k, v in reversed(operands):
+                if k == "name":
+                    cur_map = fonts.get(v)  # type: ignore[arg-type]
+                    break
+        elif parts is not None:
+            if op == b"Tj":
+                s = last_string()
+                if s is not None:
+                    parts.append(_decode_shown(s, cur_map))
+            elif op in (b"'", b'"'):
+                s = last_string()
+                if s is not None:
+                    newline()
+                    parts.append(_decode_shown(s, cur_map))
+            elif op == b"TJ":
+                for k, v in reversed(operands):
+                    if k == "arr":
+                        parts.append(
+                            "".join(
+                                _decode_shown(ev, cur_map)  # type: ignore[arg-type]
+                                for ek, ev in v  # type: ignore[union-attr]
+                                if ek in ("str", "hex")
+                            )
+                        )
+                        break
+            elif op in (b"Td", b"TD", b"T*"):
+                newline()
+        operands = []
+        arr = None
+    return blocks
 
 
 def extract_pdf_text(payload: Union[bytes, str]) -> str:
     """All recoverable text of a PDF, BT..ET blocks in document order,
     one line per line-positioning operator, blocks separated by
-    newlines.  Never raises on malformed input — returns ''."""
+    newlines.  Encrypted PDFs yield '' (callers should check
+    is_encrypted first to label them).  Never raises on malformed
+    input — returns ''."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
-    lines: list = []
+    lines: List[str] = []
     try:
+        if is_encrypted(data):
+            return ""
+        fonts = _font_cmaps(data)
         for sm in _STREAM_RE.finditer(data):
-            raw = sm.group(1)
-            try:
-                content = zlib.decompress(raw)  # FlateDecode
-            except zlib.error:
-                content = raw  # uncompressed content stream
-            for bm in _BT_ET_RE.finditer(content):
-                text = _text_of_block(bm.group(1))
+            content = _inflate(sm.group(1))
+            if b"BT" not in content:
+                continue
+            for text in _content_block_texts(content, fonts):
                 if text.strip():
                     lines.append(text.strip())
     except Exception:

@@ -58,12 +58,15 @@ def wrap_if_fragment(text: str) -> str:
     declaration — re-wrapping a doctype-prefixed page would nest its real
     `<head>` inside a second `<html><body>` shell where the meta scanners
     don't look (reference load_html handles both, utils.py:234-278).
-    PDF payloads (%PDF- magic) also pass through: the kernel routes them
-    to the content-stream text reader (kernel/pdftext.py), not the HTML
-    parse."""
-    if text[:5] == "%PDF-":
+    PDF payloads (%PDF- magic, possibly whitespace-prefixed) also pass
+    through: the kernel routes them to the content-stream text reader
+    (kernel/pdftext.py), not the HTML parse."""
+    head = text[:1024].lstrip()[:15]
+    if not head:  # >1 KB of leading whitespace: fall back to a full strip
+        head = text.lstrip()[:15]
+    if head[:5] == "%PDF-":
         return text
-    head = text.lstrip()[:15].lower()
+    head = head.lower()
     if head.startswith("<html") or head.startswith("<!doctype"):
         return text
     return wrap_turn(text)
