@@ -81,6 +81,19 @@ def test_language_filter_strict_discards_unknown():
     assert language_filter(junk, "", "de", strict=False) is False
 
 
+def test_language_filter_strict_keeps_letterless():
+    """Round-3 ADVICE: letterless input yields no label at all; strict
+    mode must treat that as no evidence (py3langid would emit an
+    arbitrary low-confidence label here), never a positive mismatch."""
+    for junk in ("", "   ", "1234 5678 !!", "... --- %%% 42"):
+        assert language_filter(junk, "", "en", strict=True) is False
+        assert language_filter(junk, "", "en", strict=False) is False
+    # real mismatches still discard in both modes
+    de = "Der Hund und die Katze sind nicht mit dem Auto gefahren, aber sie werden bald ankommen."
+    assert language_filter(de, "", "en", strict=True) is True
+    assert language_filter(de, "", "en", strict=False) is True
+
+
 def test_lang_strict_option_gates_extraction():
     doc = (
         "<html><body><article><p>Zzz qq xx vv kk pp brr grmbl frpt wuzzle snark "

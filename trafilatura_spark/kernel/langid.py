@@ -147,10 +147,13 @@ def language_filter(
     semantics.  Default: discard only a POSITIVELY detected mismatch.
     strict (Options.lang_strict): the argmax label always stands, so
     unknown-ish text is discarded too — what the reference does when
-    py3langid is installed and labels every document."""
+    py3langid is installed and labels every document.
+
+    Letterless input (empty text, digits/punctuation only) produces no
+    label even in strict mode: py3langid would emit an arbitrary
+    low-confidence label for such input, so "no letters at all" is
+    treated as no evidence, never a positive mismatch (round-3 ADVICE)."""
     detected = classify_language(
         temp_text if len(temp_text) > len(temp_comments) else temp_comments, strict=strict
     )
-    if strict:
-        return detected != target_language
     return detected is not None and detected != target_language
