@@ -339,6 +339,8 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
                 options.author_blacklist,
                 date_extensive=options.date_extensive,
                 date_original=options.date_original,
+                min_date=options.date_min,
+                max_date=options.date_max,
             )
 
             # per-job URL blacklist (reference core.py:414-417): the check

@@ -651,9 +651,20 @@ _MONTHS = {
     # Italian (agosto/novembre shared with es/fr above)
     "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5, "giugno": 6,
     "luglio": 7, "agosto": 8, "settembre": 9, "ottobre": 10, "dicembre": 12,
+    # Portuguese (abril/agosto/novembro shared with es/it above)
+    "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "maio": 5,
+    "junho": 6, "julho": 7, "setembro": 9, "outubro": 10, "novembro": 11,
+    "dezembro": 12,
+    # Dutch (april/september/november/juni/juli/mei/oktober shared above)
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
+    "december": 12,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
-_TEXT_DMY_RE = re.compile(rf"\b(\d{{1,2}})\.?(?:st|nd|rd|th|er)?\s+({_MONTH_ALT})\.?,?\s+(\d{{4}})\b", re.I)
+# optional 'de' infixes cover the es/pt '17 de agosto de 2021' form
+_TEXT_DMY_RE = re.compile(
+    rf"\b(\d{{1,2}})\.?(?:st|nd|rd|th|er)?(?:\s+de)?\s+({_MONTH_ALT})\.?,?(?:\s+de)?\s+(\d{{4}})\b",
+    re.I,
+)
 _TEXT_MDY_RE = re.compile(rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b", re.I)
 _URL_DATE_RE = re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:[/.-]|$)")
 _URL_ISO_RE = re.compile(r"[/-](\d{4})-(\d{1,2})-(\d{1,2})(?:[/.-]|$)")
@@ -675,36 +686,59 @@ _DATEISH_ATTR_RE = re.compile(
 MIN_DATE_YEAR, MAX_DATE_YEAR = 1995, 2040
 
 
-def _valid_date(y: int, m: int, d: int) -> Optional[str]:
-    "Range check + real-calendar check (htmldate validates via datetime)."
+def _valid_date(
+    y: int, m: int, d: int,
+    min_date: Optional[str] = None, max_date: Optional[str] = None,
+) -> Optional[str]:
+    """Range check + real-calendar check (htmldate validates via
+    datetime), then the caller's plausibility window: a candidate outside
+    [min_date, max_date] is rejected so the ladder keeps searching —
+    htmldate's is_valid_date semantics."""
     if MIN_DATE_YEAR <= y <= MAX_DATE_YEAR and 1 <= m <= 12 and 1 <= d <= 31:
         try:
             date(y, m, d)
         except ValueError:
             return None
-        return f"{y:04d}-{m:02d}-{d:02d}"
+        iso = f"{y:04d}-{m:02d}-{d:02d}"
+        if (min_date and iso < min_date) or (max_date and iso > max_date):
+            return None
+        return iso
     return None
 
 
-def _normalize_date(value: str) -> Optional[str]:
+def _in_window(
+    iso: Optional[str],
+    min_date: Optional[str] = None, max_date: Optional[str] = None,
+) -> bool:
+    "ISO date inside the plausibility window (lexicographic compare is safe)."
+    if iso is None:
+        return False
+    return not ((min_date and iso < min_date) or (max_date and iso > max_date))
+
+
+def _normalize_date(
+    value: str,
+    min_date: Optional[str] = None, max_date: Optional[str] = None,
+) -> Optional[str]:
     """Parse a date expression to YYYY-MM-DD: ISO first, then compact
     YYYYMMDD, German DD.MM.YYYY, US MM/DD/YYYY (day-position fallback),
     then textual '12 March 2024' / 'March 12, 2024' (htmldate
-    custom_parse / external-parser ordering)."""
+    custom_parse / external-parser ordering).  Out-of-window candidates
+    fall through to the next format rather than ending the search."""
     match = _ISO_DATE_RE.search(value)
     if match:
-        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]), min_date, max_date)
         if result:
             return result
     match = _COMPACT_DATE_RE.search(value)
     if match:
-        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]), min_date, max_date)
         if result:
             return result
     match = _DMY_DOT_RE.search(value)
     if match:
         d, m, y = int(match[1]), int(match[2]), int(match[3])
-        result = _valid_date(y, m, d)
+        result = _valid_date(y, m, d, min_date, max_date)
         if result:
             return result
     match = _MDY_SLASH_RE.search(value)
@@ -712,48 +746,57 @@ def _normalize_date(value: str) -> Optional[str]:
         m, d, y = int(match[1]), int(match[2]), int(match[3])
         if m > 12 >= d:  # cannot be a month first: read as DD/MM/YYYY
             m, d = d, m
-        result = _valid_date(y, m, d)
+        result = _valid_date(y, m, d, min_date, max_date)
         if result:
             return result
     match = _TEXT_DMY_RE.search(value)
     if match:
-        result = _valid_date(int(match[3]), _MONTHS[match[2].lower()], int(match[1]))
+        result = _valid_date(
+            int(match[3]), _MONTHS[match[2].lower()], int(match[1]), min_date, max_date
+        )
         if result:
             return result
     match = _TEXT_MDY_RE.search(value)
     if match:
-        result = _valid_date(int(match[3]), _MONTHS[match[1].lower()], int(match[2]))
+        result = _valid_date(
+            int(match[3]), _MONTHS[match[1].lower()], int(match[2]), min_date, max_date
+        )
         if result:
             return result
     return None
 
 
-def _url_date(url: str) -> Optional[str]:
+def _url_date(
+    url: str,
+    min_date: Optional[str] = None, max_date: Optional[str] = None,
+) -> Optional[str]:
     "URL date patterns (htmldate extract_url_date / img_pattern shapes)."
     for pat in (_URL_DATE_RE, _URL_ISO_RE):
         match = pat.search(url)
         if match:
-            result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+            result = _valid_date(int(match[1]), int(match[2]), int(match[3]), min_date, max_date)
             if result:
                 return result
     match = _URL_MONTHNAME_RE.search(url)
     if match:
-        result = _valid_date(int(match[1]), _MONTHS[match[2].lower()], int(match[3]))
+        result = _valid_date(
+            int(match[1]), _MONTHS[match[2].lower()], int(match[3]), min_date, max_date
+        )
         if result:
             return result
     match = _URL_QUERY_DATE_RE.search(url)
     if match:
-        result = _normalize_date(match[1])
+        result = _normalize_date(match[1], min_date, max_date)
         if result:
             return result
     match = _COMPACT_DATE_RE.search(url)
     if match:
-        result = _valid_date(int(match[1]), int(match[2]), int(match[3]))
+        result = _valid_date(int(match[1]), int(match[2]), int(match[3]), min_date, max_date)
         if result:
             return result
     match = _URL_YM_RE.search(url)
     if match:
-        return _valid_date(int(match[1]), int(match[2]), 1)
+        return _valid_date(int(match[1]), int(match[2]), 1, min_date, max_date)
     return None
 
 
@@ -762,6 +805,8 @@ def find_date(
     url: Optional[str] = None,
     extensive: bool = True,
     original_date: bool = True,
+    min_date: Optional[str] = None,
+    max_date: Optional[str] = None,
 ) -> Optional[str]:
     """Publication-date ladder standing in for htmldate (the reference
     delegates at metadata.py:523-525 with original_date=True): published
@@ -772,7 +817,13 @@ def find_date(
     ``original_date`` mirrors htmldate's parameter: True (the reference's
     setting) prefers the first-published date; False prefers the update —
     when both meta families are present the LATER of published/modified
-    wins, the ladder is otherwise unchanged."""
+    wins, the ladder is otherwise unchanged.
+
+    ``min_date``/``max_date`` (ISO strings) mirror htmldate's
+    plausibility window: a candidate outside the window is rejected at
+    its rung and the ladder CONTINUES — e.g. a far-future meta stamp
+    falls through to a plausible URL date (the reference default sets
+    max_date=today, settings.py:216-222/cli_utils.py:231)."""
     # 1. meta vocabulary, publication names first
     modified_candidate = None
     for elem in _head_metas(tree):
@@ -781,24 +832,24 @@ def find_date(
         if not content:
             continue
         if attrtype in _DATE_META_NAMES:
-            result = _normalize_date(content)
+            result = _normalize_date(content, min_date, max_date)
             if result:
                 if not original_date:
                     # updated-date mode: let a later modified stamp win
                     for el2 in _head_metas(tree):
                         a2 = (el2.get("name") or el2.get("property") or el2.get("itemprop") or "").lower()
                         if a2 in _DATE_MODIFIED_META_NAMES and el2.get("content"):
-                            mod = _normalize_date(el2.get("content"))
+                            mod = _normalize_date(el2.get("content"), min_date, max_date)
                             if mod and mod > result:
                                 return mod
                 return result
         elif attrtype in _DATE_MODIFIED_META_NAMES and modified_candidate is None:
-            modified_candidate = _normalize_date(content)
+            modified_candidate = _normalize_date(content, min_date, max_date)
     # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
     for time_el in tree.iterdescendants("time"):
         for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
             if candidate:
-                result = _normalize_date(candidate)
+                result = _normalize_date(candidate, min_date, max_date)
                 if result:
                     return result
     for abbr in tree.iterdescendants("abbr"):
@@ -808,14 +859,14 @@ def find_date(
                 from datetime import datetime, timezone
 
                 dt = datetime.fromtimestamp(int(utime), tz=timezone.utc)
-                result = _valid_date(dt.year, dt.month, dt.day)
+                result = _valid_date(dt.year, dt.month, dt.day, min_date, max_date)
                 if result:
                     return result
             except (OverflowError, OSError, ValueError):
                 pass
         title = abbr.get("title")
         if title:
-            result = _normalize_date(title)
+            result = _normalize_date(title, min_date, max_date)
             if result:
                 return result
     # 3. date-classed/-id'd element text and data-* attributes
@@ -825,12 +876,12 @@ def find_date(
             continue
         for candidate in (el.get("data-date"), el.get("datetime"), el.get("content"), el.text_content()[:120]):
             if candidate:
-                result = _normalize_date(candidate)
+                result = _normalize_date(candidate, min_date, max_date)
                 if result:
                     return result
     # 4. URL path patterns
     if url:
-        result = _url_date(url)
+        result = _url_date(url, min_date, max_date)
         if result:
             return result
     # 5. modified-date meta (weaker than any published signal above)
@@ -843,13 +894,13 @@ def find_date(
     for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
         match = pat.search(text)
         if match:
-            result = _normalize_date(match.group(0))
+            result = _normalize_date(match.group(0), min_date, max_date)
             if result:
                 return result
     # 7. copyright year, the last-resort rung (day/month default to Jan 1)
     match = _COPYRIGHT_RE.search(text)
     if match:
-        return _valid_date(int(match[1]), 1, 1)
+        return _valid_date(int(match[1]), 1, 1, min_date, max_date)
     return None
 
 
@@ -874,10 +925,13 @@ def extract_metadata(
     author_blacklist=frozenset(),
     date_extensive: bool = True,
     date_original: bool = True,
+    min_date: Optional[str] = None,
+    max_date: Optional[str] = None,
 ) -> Metadata:
     """Orchestrator (metadata.py:458-563; author_blacklist as in
     :471-474).  The date knobs mirror the reference's
-    date_extraction_params pass-through to htmldate (core.py:344-351)."""
+    date_extraction_params pass-through to htmldate (core.py:344-351),
+    including the min_date/max_date plausibility window."""
     tree = load_html(filecontent)
     if tree is None:
         return Metadata()
@@ -903,9 +957,14 @@ def extract_metadata(
         metadata.url = extract_url(tree, default_url)
     if metadata.url:
         metadata.hostname = extract_domain(metadata.url)
+    # a JSON-LD/meta date set upstream is still subject to the window:
+    # out-of-window stamps re-enter the ladder instead of standing
+    if metadata.date and not _in_window(metadata.date, min_date, max_date):
+        metadata.date = None
     if not metadata.date:
         metadata.date = find_date(
-            tree, metadata.url, extensive=date_extensive, original_date=date_original
+            tree, metadata.url, extensive=date_extensive, original_date=date_original,
+            min_date=min_date, max_date=max_date,
         )
     if not metadata.sitename:
         metadata.sitename = extract_sitename(tree)

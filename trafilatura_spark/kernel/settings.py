@@ -55,6 +55,11 @@ class Options:
     # later modified stamp over the published one
     date_extensive: bool = True
     date_original: bool = True
+    # plausibility window (htmldate min_date/max_date: candidates outside
+    # [date_min, date_max] are rejected and the ladder continues); ISO
+    # "YYYY-MM-DD" strings, None = the module-level 1995..2040 year bounds
+    date_min: Optional[str] = None
+    date_max: Optional[str] = None
     url: Optional[str] = None
     with_metadata: bool = False
     # sizes (settings.cfg:26-33)
