@@ -86,7 +86,13 @@ BENCH_QUERIES = [
     # The bench measures the scale-path plan (LSH-prefiltered exact Jaccard).
     "dedup_jaccard_via_lsh",
     "ann_lsh_multitable_topk",
+    # IVF-Flat: the second ANN scale path (probe nprobe/nlist of the
+    # corpus); cost includes the deterministic index build
+    "ann_ivf_topk",
     "text_token_stats",
+    # Gopher quality rules: pure JVM projection, the cheapest per-row
+    # pipeline stage — benched so the no-shuffle claim has a number
+    "text_quality_gopher",
 ]
 
 

@@ -351,6 +351,55 @@ def test_find_date_plausibility_window():
     assert find_date(old, min_date="2000-01-01") is None
 
 
+def test_find_date_free_text_frequency_scoring():
+    """htmldate search_page/select_candidate semantics: the free-text rung
+    counts EVERY in-window occurrence and the most frequent date wins —
+    a stray archive-link date appearing first no longer beats the
+    publication date repeated in byline, footer and citation."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = (
+        "<html><body>"
+        "<p>See our retrospective of 3 January 2011 for background.</p>"
+        "<p>Published 15 June 2019 by the editors.</p>"
+        "<p>Filed under news on 15 June 2019.</p>"
+        "<p>Citation: Editors (15 June 2019), Example Journal.</p>"
+        "</body></html>"
+    )
+    assert find_date(load_html(doc)) == "2019-06-15"
+
+
+def test_find_date_free_text_tie_prefers_original_else_update():
+    "Equal-frequency candidates: earliest under original_date, latest otherwise."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = (
+        "<html><body>"
+        "<p>First posted 2 February 2018.</p>"
+        "<p>Last revised 9 September 2021.</p>"
+        "</body></html>"
+    )
+    tree = load_html(doc)
+    assert find_date(tree, original_date=True) == "2018-02-02"
+    assert find_date(tree, original_date=False) == "2021-09-09"
+
+
+def test_find_date_free_text_frequency_respects_window():
+    "Out-of-window occurrences don't vote: the window filters candidates first."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = (
+        "<html><body>"
+        "<p>Copies dated 1 March 2035 and again 1 March 2035 and 1 March 2035.</p>"
+        "<p>Actually published 20 April 2016.</p>"
+        "</body></html>"
+    )
+    assert find_date(load_html(doc), max_date="2025-12-31") == "2016-04-20"
+
+
 def test_date_window_rides_options_and_filters_jsonld():
     "Options.date_min/date_max reach the ladder AND the JSON-LD date."
     from trafilatura_spark.kernel import Options, bare_extract

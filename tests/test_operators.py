@@ -354,3 +354,69 @@ def test_asof_join_hot_key_single_shuffle(spark):
     assert "Join" not in final_plan and "CartesianProduct" not in final_plan
     assert final_plan.count("Exchange") == 1, final_plan
     assert final_plan.count("Window") >= 1
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    """IVF-Flat: a vector planted next to a query must come back rank 1 —
+    the probed cells contain the true neighbor because near-identical
+    vectors land in the same Voronoi cell."""
+    import random
+
+    from trafilatura_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    # vec 41 = vec 2 + tiny noise -> same cell as query 2, cosine ~1
+    rows[41] = (41, [x + 0.001 for x in rows[2][1]])
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {(r.query_id, r.rank): r.neighbor_id for r in ivf_topk(df, n_queries=5, k=3).collect()}
+    assert out[(2, 1)] == 41
+    # every query returns k ranked neighbors from probed cells
+    assert sorted(q for q, rk in out if rk == 1) == [0, 1, 2, 3, 4]
+
+
+def test_ivf_topk_plan_broadcasts_centroids(spark):
+    """The IVF build/probe joins broadcast the tiny centroid table; the
+    only non-broadcast join key is the cell id.  No shuffled cartesian."""
+    import random
+
+    from trafilatura_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = ivf_topk(df, n_queries=3, k=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final_plan or "BroadcastExchange" in final_plan
+    assert "CartesianProduct" not in final_plan
+
+
+def test_quality_gopher_rules(spark):
+    "Gopher-rule verdicts on crafted documents: pass, bullets, dup lines, too short."
+    from trafilatura_spark.operators.textstats import quality_gopher
+
+    good = (
+        "The committee met with the regional planners to review the draft "
+        "proposal and decided that the updated schedule would have to be "
+        "published before the end of the quarter so that every department "
+        "could align its budget with the new timeline and the oversight "
+        "board would be able to confirm that the plan complies with the "
+        "standing rules of procedure that govern expenditure at this level."
+    )
+    bullets = "\n".join(f"- item {i} of the listing" for i in range(40))
+    dup = "\n".join(["the same line repeats here"] * 30)
+    short = "too few words to pass the gate"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dup), (4, short)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in quality_gopher(df).collect()}
+    assert rows[1].passes is True
+    assert rows[2].passes is False and rows[2].bullet_line_ratio > 0.9
+    assert rows[3].passes is False and rows[3].dup_line_ratio > 0.9
+    assert rows[4].passes is False and rows[4].n_words < 50
+    assert rows[1].stopword_hits >= 2 and rows[1].alpha_word_ratio >= 0.9

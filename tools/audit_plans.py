@@ -142,6 +142,27 @@ def main() -> int:
     p = plan_of(Q.ann_cosine_topk(spark, sf_dir))
     check("ann brute query-side broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
 
+    # IVF-Flat: centroid assignment broadcasts the tiny centroid table
+    # (never shuffles the vector table against it); no shuffled cartesian
+    p = plan_of(Q.ann_ivf_topk(spark, sf_dir))
+    check("ann ivf centroids broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
+    check("ann ivf no shuffled cartesian", "CartesianProduct" not in p)
+
+    # Gopher quality filter: pure JVM projection — no Python stage, no
+    # shuffle, scan pruned to (doc_id, text)
+    g = Q.text_quality_gopher(spark, sf_dir)
+    g.collect()
+    p = plan_of(g)
+    check("gopher no Python stage", "Python" not in p and "MapInPandas" not in p)
+    check("gopher no shuffle", "Exchange" not in p)
+    rs = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    cols = rs.group(1) if rs else ""
+    check("gopher scan pruned to doc_id,text", bool(rs) and "lang" not in cols and "source" not in cols, cols[:200])
+
+    # EXISTS query: planned as LEFT SEMI (never multiplies order rows)
+    p = plan_of(Q.q_orders_priority_exists(spark, sf_dir))
+    check("exists query uses semi join", "LeftSemi" in p)
+
     spark.stop()
     failures = [n for n, ok in CHECKS if not ok]
     print(f"{len(CHECKS) - len(failures)}/{len(CHECKS)} plan assertions hold")

@@ -17,7 +17,7 @@ import re
 from dataclasses import dataclass, field
 from datetime import date
 from html import unescape
-from typing import Optional
+from typing import Dict, Optional
 from urllib.parse import urlparse
 
 from .cleaning import prune_unwanted_nodes
@@ -889,14 +889,24 @@ def find_date(
         return modified_candidate
     if not extensive:
         return None
-    # 6. free-text scan over the rendered text (bounded)
+    # 6. free-text scan over the rendered text (bounded) — htmldate's
+    # search_page + select_candidate shape: collect EVERY in-window
+    # occurrence across all patterns and score by frequency (a page that
+    # lists its publication date in the byline, the footer, and a
+    # citation block outvotes one stray archive link), instead of
+    # first-match-wins.  Ties go to the earliest date under
+    # original_date (htmldate's original preference) else the latest.
     text = tree.text_content()[:100_000]
+    counts: Dict[str, int] = {}
     for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
-        match = pat.search(text)
-        if match:
+        for match in pat.finditer(text):
             result = _normalize_date(match.group(0), min_date, max_date)
             if result:
-                return result
+                counts[result] = counts.get(result, 0) + 1
+    if counts:
+        best = max(counts.values())
+        tied = sorted(d for d, c in counts.items() if c == best)
+        return tied[0] if original_date else tied[-1]
     # 7. copyright year, the last-resort rung (day/month default to Jan 1)
     match = _COPYRIGHT_RE.search(text)
     if match:

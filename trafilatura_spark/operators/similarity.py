@@ -17,11 +17,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _l2sq(a, b):
+    "Squared euclidean distance, rounded to 6 dp for cross-engine rank stability."
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
 
 
 def cosine_topk(
@@ -250,6 +256,172 @@ def lsh_topk_sql(
              ROUND(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
       FROM b l JOIN b r USING (bucket)
       WHERE l.{id_col} <> r.{id_col}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+    """
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _assign_to_centroids(vecs: DataFrame, cents: DataFrame, id_out: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    argmin squared-L2 per vector (ties by centroid id).  This is the
+    map-side-only IVF build step — no shuffle of the vector table."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias(id_out),
+        F.col("cid"),
+        _l2sq(F.col("v"), F.col("cv")).alias("dist"),
+    )
+    w = Window.partitionBy(id_out).orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_out, "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: partition the corpus into ``nlist``
+    Voronoi cells (inverted lists), probe the ``nprobe`` cells nearest to
+    each query, brute-force cosine only inside probed cells.
+
+    The second ANN scale path next to multi-table sign-LSH: the search
+    join touches ~nprobe/nlist of the corpus instead of all of it, and
+    recall/cost is tuned by nprobe at query time with no reindex.
+
+    Deterministic training so the DuckDB twin can replay it exactly:
+    seeds = the ``nlist`` lowest-id vectors, one Lloyd refinement
+    (assign -> per-dimension mean, rounded 6 dp), then final assignment.
+    At 100 TB the centroids come from a sampled k-means (e.g. Spark ML
+    KMeans on ~1% of rows) trained once offline; everything downstream —
+    broadcast assignment (map-side only), cell-keyed candidate join — is
+    unchanged, and nlist grows to ~sqrt(n) so each inverted list stays
+    executor-sized.  Cell ids are the partition key: a hot cell is an
+    ordinary AQE-splittable shuffle join partition, not a window.
+    """
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = vecs.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # one Lloyd step: assign to seeds, rebuild each centroid as the
+    # per-dimension mean of its members (posexplode -> avg -> re-collect)
+    a1 = _assign_to_centroids(vecs, seeds, "vec_id")
+    cents = (
+        a1.join(vecs, "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"))
+    )
+    inverted = _assign_to_centroids(vecs, cents, "neighbor_id")
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe: nprobe nearest refined centroids per query
+    pw = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", _l2sq(F.col("qv"), F.col("cv")).alias("dist"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    # candidates: only vectors whose cell was probed (cells are disjoint,
+    # so no cross-table dedup is needed)
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        probes.join(inverted, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    dim: int = 64,
+) -> str:
+    "DuckDB twin of ivf_topk — replays the deterministic training exactly."
+    l2 = "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) + list_dot_product({b}, {b}), 6)"
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH vecs AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {nlist}),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vecs.vec_id, seeds.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {l2.format(a="v", b="cv")} ASC, seeds.cid ASC) AS rn
+        FROM vecs CROSS JOIN seeds
+      ) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, {dim})) AS pos),
+    comp AS (
+      SELECT cid, pos, ROUND(AVG(v[pos]), 6) AS m
+      FROM a1 JOIN vecs USING (vec_id) CROSS JOIN dims
+      GROUP BY cid, pos
+    ),
+    cents AS (SELECT cid, list(m ORDER BY pos) AS cv FROM comp GROUP BY cid),
+    inverted AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vecs.vec_id, cents.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {l2.format(a="v", b="cv")} ASC, cents.cid ASC) AS rn
+        FROM vecs CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {n_queries}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {l2.format(a="qv", b="cv")} ASC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, i.neighbor_id, {cos.format(a="q.qv", b="n.v")} AS cosine
+      FROM probes p
+      JOIN inverted i USING (cid)
+      JOIN queries q ON q.query_id = p.query_id
+      JOIN vecs n ON n.vec_id = i.neighbor_id
+      WHERE i.neighbor_id <> p.query_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,

@@ -151,6 +151,116 @@ def lang_id_ngram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
 
 
+# Gopher-style quality rules (Rae et al. 2021, §A1.1) — the published
+# heuristics, tuned to what both regex engines (java.util.regex / RE2)
+# evaluate identically: plain character classes only, no \b / lookaround.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_ALPHA_RE = "[A-Za-z]"
+_BULLET_RE = r"^[ \t]*[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t]*$"
+
+
+def quality_gopher(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-rule document quality filter, entirely JVM-side built-ins.
+
+    Per document: word count, mean word length, fraction of words with an
+    alphabetic character, bullet-/ellipsis-line ratios, duplicate-line
+    ratio, distinct-stopword hits — and the pass/fail verdict combining
+    them (the thresholds published for MassiveWeb).  At 100 TB this is a
+    single narrow projection over the text column: no shuffle, no Python,
+    fully pipelined into whatever scan feeds it."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_word_len = F.round(
+        F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike(_ALPHA_RE))) / F.greatest(n_words, F.lit(1)), 6
+    )
+    bullet_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))) / n_lines, 6
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))) / n_lines, 6
+    )
+    dup_line_ratio = F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6)
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("dup_line_ratio") <= 0.3)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("passes", passes)
+
+
+def quality_gopher_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    "DuckDB twin of quality_gopher (identical tokenization and thresholds)."
+    stoplist = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    bullet = _BULLET_RE
+    ellipsis = _ELLIPSIS_RE
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             regexp_split_to_array(trim({text_col}), '\\s+') AS words,
+             string_split({text_col}, chr(10)) AS lines
+      FROM {table}
+    ),
+    m AS (
+      SELECT {id_col},
+             CAST(len(words) AS INT) AS n_words,
+             ROUND(list_sum(list_transform(words, w -> length(w))) * 1.0
+                   / GREATEST(len(words), 1), 6) AS mean_word_len,
+             ROUND(len(list_filter(words, w -> regexp_matches(w, '{_ALPHA_RE}'))) * 1.0
+                   / GREATEST(len(words), 1), 6) AS alpha_word_ratio,
+             ROUND(len(list_filter(lines, l -> regexp_matches(l, '{bullet}'))) * 1.0
+                   / GREATEST(len(lines), 1), 6) AS bullet_line_ratio,
+             ROUND(len(list_filter(lines, l -> regexp_matches(l, '{ellipsis}'))) * 1.0
+                   / GREATEST(len(lines), 1), 6) AS ellipsis_line_ratio,
+             ROUND(1 - len(list_distinct(lines)) * 1.0 / GREATEST(len(lines), 1), 6) AS dup_line_ratio,
+             CAST(len(list_filter([{stoplist}],
+                        s -> list_contains(list_transform(words, w -> lower(w)), s))) AS INT)
+               AS stopword_hits
+      FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND alpha_word_ratio >= 0.8
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND dup_line_ratio <= 0.3
+            AND stopword_hits >= 2) AS passes
+    FROM m
+    """
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     "Deterministic document fingerprint: md5 of whitespace-normalized lowercase text."
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

@@ -457,6 +457,68 @@ ORDER BY e.event_id
 """
 
 
+def q_orders_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated predicate as a LEFT SEMI join.
+    Semi join never multiplies rows (an order with 7 qualifying lineitems
+    counts once) and Spark plans it as a shuffled semi hash join — at
+    100 TB the probe side streams, the orders side never duplicates."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_repeat_customers_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in both 1995 and 1996 (INTERSECT)
+    who then churned — no 1997 order (EXCEPT).  Both ops are
+    hash-aggregate + shuffle on the single key column — the narrowest
+    possible exchange (key only, no payload) at any scale."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+
+    def by_year(y):
+        return (
+            orders.filter(F.col("yr") == y)
+            .select(F.col("o_custkey").alias("cust_key"))
+            .distinct()
+        )
+
+    churned = by_year(1995).intersect(by_year(1996)).subtract(by_year(1997))
+    return churned.orderBy("cust_key")
+
+
+Q_SETOP_SQL = """
+(SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1995
+ INTERSECT
+ SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1996)
+EXCEPT
+SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY cust_key
+"""
+
+
 # --- training-pipeline operators ------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,6 +603,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multitable_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k (inverted-file ANN): the second scale path next to
+    multi-table sign-LSH — probe nprobe/nlist of the corpus per query.
+    Deterministic training (seeded + one Lloyd step) so the DuckDB twin
+    value-matches the whole index build, not just the search."""
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter over documents (word stats, bullet /
+    ellipsis / duplicate-line ratios, stopword hits, pass verdict)."""
+    return T.quality_gopher(_t(spark, sf_dir, "documents"))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +956,8 @@ SPARK_QUERIES = {
     "q_events_asof_orders": q_events_asof_orders,
     "q_events_asof_nulls": q_events_asof_nulls,
     "q_order_percentiles": q_order_percentiles,
+    "q_orders_priority_exists": q_orders_priority_exists,
+    "q_repeat_customers_setop": q_repeat_customers_setop,
     "dedup_exact": dedup_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
@@ -896,6 +974,8 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multitable_topk": ann_lsh_multitable_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_quality_gopher": text_quality_gopher,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
@@ -922,6 +1002,8 @@ ORACLE_SQL = {
     "q_events_asof_orders": Q_ASOF_SQL,
     "q_events_asof_nulls": Q_ASOF_NULLS_SQL,
     "q_order_percentiles": Q_PERCENTILES_SQL,
+    "q_orders_priority_exists": Q_EXISTS_SQL,
+    "q_repeat_customers_setop": Q_SETOP_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),
@@ -939,6 +1021,8 @@ ORACLE_SQL = {
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
     "ann_lsh_multitable_topk": S.lsh_multitable_topk_sql(),
+    "ann_ivf_topk": S.ivf_topk_sql(),
+    "text_quality_gopher": T.quality_gopher_sql(),
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
