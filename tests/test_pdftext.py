@@ -212,3 +212,151 @@ def test_extract_transcripts_pdf_rows_end_to_end(spark):
     rows = {r.turn_idx: r for r in extract_transcripts(df).collect()}
     assert rows[0].tier == "pdf" and "Hello PDF world." in rows[0].extracted_text
     assert rows[1].tier in ("main", "baseline") and "plain html words" in rows[1].extracted_text
+
+
+# --- RC4 standard security handler (empty user password) ---------------------
+# The encryptor below is an INDEPENDENT implementation of ISO 32000-1
+# §7.6.2-7.6.3 written from the spec, so the reader's decryption is
+# checked against a second derivation, not against itself.
+
+_PAD = bytes.fromhex("28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+_O = bytes(range(32))          # /O only feeds key derivation; any 32 bytes
+_ID0 = bytes.fromhex("00112233445566778899AABBCCDDEEFF")
+_P = -44
+
+
+def _rc4_ref(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) % 256
+        S[i], S[j] = S[j], S[i]
+    out, i, j = bytearray(), 0, 0
+    for b in data:
+        i = (i + 1) % 256
+        j = (j + S[i]) % 256
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) % 256])
+    return bytes(out)
+
+
+def _file_key(r: int, nbits: int) -> bytes:
+    import hashlib
+    import struct
+
+    n = nbits // 8
+    d = hashlib.md5(_PAD + _O + struct.pack("<i", _P) + _ID0).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d[:n]).digest()
+        return d[:n]
+    return d[:5]
+
+
+def _u_value(key: bytes, r: int) -> bytes:
+    import hashlib
+
+    if r == 2:
+        return _rc4_ref(key, _PAD)
+    t = _rc4_ref(key, hashlib.md5(_PAD + _ID0).digest())
+    for i in range(1, 20):
+        t = _rc4_ref(bytes(b ^ i for b in key), t)
+    return t + b"\x00" * 16  # 16 arbitrary padding bytes per spec
+
+
+def _obj_key(key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
+
+
+def build_encrypted_pdf(content: bytes, r: int = 3, nbits: int = 128, corrupt_u: bool = False) -> bytes:
+    "Single-page PDF whose content stream is RC4-encrypted (empty user pw)."
+    key = _file_key(r, nbits)
+    body = _rc4_ref(_obj_key(key, 4, 0), zlib.compress(content))
+    u = bytearray(_u_value(key, r))
+    if corrupt_u:
+        u[0] ^= 0xFF  # simulates a real (non-empty) user password
+    v = 2 if r >= 3 else 1
+    length = b" /Length " + str(nbits).encode() if v >= 2 else b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Filter /Standard /V " + str(v).encode() + b" /R " + str(r).encode()
+        + length + b" /P " + str(_P).encode()
+        + b" /O <" + _O.hex().encode() + b">"
+        + b" /U <" + bytes(u).hex().encode() + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<" + _ID0.hex().encode()
+        + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def test_rc4_empty_password_pdf_decrypts_r3_128():
+    "RC4 /V 2 /R 3 128-bit with empty user password reads transparently."
+    from trafilatura_spark.kernel.pdftext import decryption_key, is_encrypted
+
+    pdf = build_encrypted_pdf(CONTENT, r=3, nbits=128)
+    assert is_encrypted(pdf)
+    assert decryption_key(pdf) == _file_key(3, 128)
+    text = extract_pdf_text(pdf)
+    assert "Hello PDF world." in text and "Kerned array text." in text
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.tier == "pdf" and "Hello PDF world." in res.text
+
+
+def test_rc4_empty_password_pdf_decrypts_r2_40():
+    "Legacy /V 1 /R 2 40-bit RC4 also opens (5-byte key, Algorithm 4 /U)."
+    pdf = build_encrypted_pdf(CONTENT, r=2, nbits=40)
+    assert "Second line with (escaped) parens." in extract_pdf_text(pdf)
+
+
+def test_rc4_wrong_user_password_stays_labeled():
+    "/U mismatch means a real user password: refuse, label pdf_encrypted."
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_encrypted_pdf(CONTENT, corrupt_u=True)
+    assert decryption_key(pdf) is None
+    assert extract_pdf_text(pdf) == ""
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.text is None and res.tier == "pdf_encrypted"
+
+
+def test_aes_v4_stays_labeled():
+    "AES (/V 4) is out of scope: never decrypted, always labeled."
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_encrypted_pdf(CONTENT).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    assert decryption_key(pdf) is None
+    assert bare_extract(pdf, Options(min_extracted_size=0)).tier == "pdf_encrypted"
+
+
+def test_rc4_encrypted_cid_pdf_decrypts_tounicode_stream():
+    "Font ToUnicode streams are decrypted with their OWN per-object key."
+    key = _file_key(3, 128)
+    content = b"BT /F1 10 Tf <00010002> Tj ET"
+    body = _rc4_ref(_obj_key(key, 4, 0), zlib.compress(content))
+    cm = _rc4_ref(_obj_key(key, 6, 0), zlib.compress(CMAP))
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R\n"
+        b"   /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >> endobj\n"
+        b"6 0 obj << /Filter /FlateDecode /Length " + str(len(cm)).encode() + b" >>\n"
+        b"stream\n" + cm + b"\nendstream\nendobj\n"
+        b"7 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(_P).encode()
+        + b" /O <" + _O.hex().encode() + b"> /U <" + _u_value(key, 3).hex().encode()
+        + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 7 0 R /ID [<" + _ID0.hex().encode()
+        + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "He"

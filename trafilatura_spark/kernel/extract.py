@@ -300,12 +300,14 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
         from .pdftext import is_pdf
 
         if is_pdf(filecontent):
-            from .pdftext import extract_pdf_text, is_encrypted
+            from .pdftext import decryption_key, extract_pdf_text, is_encrypted
             from .textutils import sanitize
 
-            # string-key decryption is not implemented: label, don't emit
-            # the garbage a raw parse of encrypted streams would produce
-            if is_encrypted(filecontent):
+            # RC4 standard-security with an empty user password decrypts
+            # transparently inside extract_pdf_text; anything it cannot
+            # open (real password, AES) is labeled, never parsed as
+            # garbage
+            if is_encrypted(filecontent) and decryption_key(filecontent) is None:
                 return ExtractionResult(None, "pdf_encrypted", 0, 0)
             pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent)) or "")
             if not pdf_text or len(pdf_text) < options.min_output_size:

@@ -24,9 +24,12 @@ self-contained public CMap subset): the object graph is scanned for
 Resources /Font name -> font object -> ToUnicode stream, and shown bytes
 are mapped in codespacerange-sized units to UTF-16BE targets.  Composite
 fonts WITHOUT a ToUnicode map still yield no text (declared gap: full
-predefined-CMap tables are out of scope).  Encrypted PDFs (trailer
-/Encrypt) are detected and refused — the kernel labels them
-tier='pdf_encrypted' instead of emitting string-key garbage.
+predefined-CMap tables are out of scope).  Encrypted PDFs: the RC4
+standard security handler (ISO 32000-1 §7.6.3, /V <= 2) is implemented
+for the EMPTY user password — the common permissions-only encryption —
+with the /U verification gate; files needing a real password or AES
+(/V 4+) are refused and the kernel labels them tier='pdf_encrypted'
+instead of emitting key-stream garbage.
 
 The Spark face: operators/extract.py routes %PDF- payloads here before
 the HTML wrap, emitting tier='pdf' rows through the same mapInPandas
@@ -42,7 +45,7 @@ from typing import Dict, Iterator, List, Optional, Tuple, Union
 PDF_MAGIC = b"%PDF-"
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_REF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
@@ -73,13 +76,141 @@ def is_pdf(payload: Union[bytes, str, None]) -> bool:
 
 def is_encrypted(payload: Union[bytes, str]) -> bool:
     """True when the trailer (or, for cross-reference-stream PDFs, the
-    file tail) carries an /Encrypt reference.  String keys are not
-    implemented — callers label these instead of parsing garbage."""
+    file tail) carries an /Encrypt reference.  RC4 standard-security
+    files with an EMPTY user password (the common permissions-only
+    encryption) are decrypted by extract_pdf_text; anything else —
+    a real user password, or AES (/V 4+) — is labeled by callers via
+    decryption_key() returning None."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     for m in _TRAILER_RE.finditer(data):
         if b"/Encrypt" in m.group(1):
             return True
     return _ENCRYPT_RE.search(data[-4096:]) is not None
+
+
+# --- standard security handler (ISO 32000-1 §7.6.3, RC4 / V<=2) -------------
+
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ID_STR_RE = re.compile(rb"/ID\s*\[\s*\(")
+_INT_KEY_RE = {
+    name: re.compile(rb"/" + name + rb"\s+([+-]?\d+)") for name in (b"R", b"V", b"P", b"Length")
+}
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    "RC4 stream cipher (public algorithm; symmetric, used for decryption)."
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_bytes_value(body: bytes, name: bytes) -> Optional[bytes]:
+    "A /name (literal)|<hex> string value inside a dictionary body."
+    m = re.search(rb"/" + name + rb"\s*(\(|<)", body)
+    if not m:
+        return None
+    if m.group(1) == b"(":
+        val, _ = _parse_literal(body, m.end() - 1)
+        return val
+    j = body.find(b">", m.end())
+    if j < 0:
+        return None
+    h = re.sub(rb"[^0-9A-Fa-f]", b"", body[m.end() : j])
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return None
+
+
+def decryption_key(payload: Union[bytes, str]) -> Optional[bytes]:
+    """File encryption key for a standard-security-handler PDF whose USER
+    password is empty (permissions-only encryption — the overwhelmingly
+    common case), verified against /U per Algorithm 4/5.  None when the
+    file needs a real password, uses AES (/V 4+), or the encrypt
+    dictionary is unreadable — callers label those tier='pdf_encrypted'.
+
+    Key derivation is Algorithm 2: md5(pad + O + P as le-int32 + ID[0]),
+    50 re-hash rounds for /R 3, truncated to /Length bits."""
+    import hashlib
+    import struct
+
+    data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
+    try:
+        ref = _ENCRYPT_RE.search(data)
+        if not ref:
+            return None
+        num = int(re.search(rb"/Encrypt\s+(\d+)", ref.group(0)).group(1))
+        body = None
+        for m in _OBJ_RE.finditer(data):
+            if int(m.group(1)) == num:
+                body = m.group(3)
+                break
+        if body is None or b"/Standard" not in body:
+            return None
+        ints = {}
+        for name, pat in _INT_KEY_RE.items():
+            im = pat.search(body)
+            if im:
+                ints[name] = int(im.group(1))
+        r = ints.get(b"R", 2)
+        v = ints.get(b"V", 1)
+        p = ints.get(b"P", -1)
+        nbits = ints.get(b"Length", 40) if v >= 2 else 40
+        if v > 2 or r > 3:  # AES / crypt filters: out of scope, stay labeled
+            return None
+        o = _dict_bytes_value(body, b"O")
+        u = _dict_bytes_value(body, b"U")
+        if not o or not u:
+            return None
+        id0 = b""
+        idm = _ID_HEX_RE.search(data)
+        if idm:
+            id0 = bytes.fromhex(idm.group(1).decode("ascii"))
+        else:
+            idm = _ID_STR_RE.search(data)
+            if idm:
+                id0, _ = _parse_literal(data, idm.end() - 1)
+        n = max(5, min(nbits // 8, 16))
+        digest = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                digest = hashlib.md5(digest[:n]).digest()
+        key = digest[:n] if r >= 3 else digest[:5]
+        # verify the empty USER password against /U
+        if r == 2:
+            ok = _rc4(key, _PAD)[:16] == u[:16]
+        else:
+            t = hashlib.md5(_PAD + id0).digest()
+            t = _rc4(key, t)
+            for i in range(1, 20):
+                t = _rc4(bytes(b ^ i for b in key), t)
+            ok = t[:16] == u[:16]
+        return key if ok else None
+    except Exception:
+        return None
+
+
+def _object_key(key: bytes, num: int, gen: int) -> bytes:
+    "Per-object RC4 key (Algorithm 1): md5(key + objnum<le24> + gen<le16>)."
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
 
 
 # --- content-stream lexer ---------------------------------------------------
@@ -266,30 +397,36 @@ def _inflate(raw: bytes) -> bytes:
         return raw  # uncompressed content stream
 
 
-def _font_cmaps(data: bytes) -> Dict[str, CMap]:
+def _font_cmaps(data: bytes, key: Optional[bytes] = None) -> Dict[str, CMap]:
     """Resource font name -> ToUnicode CMap, from the object graph:
     /Font << /F1 N 0 R >> dicts name fonts, font objects reference their
     /ToUnicode stream.  Names are global last-wins — per-page resource
-    scoping is out of scope for this labeled simple reader."""
-    objs: Dict[int, bytes] = {}
+    scoping is out of scope for this labeled simple reader.  With an RC4
+    file ``key``, stream bodies are decrypted per object first."""
+    objs: Dict[int, Tuple[int, bytes]] = {}
     for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+        objs[int(m.group(1))] = (int(m.group(2)), m.group(3))
     fonts: Dict[str, CMap] = {}
     for fd in _FONT_DICT_RE.finditer(data):
         for ref in _FONT_REF_RE.finditer(fd.group(1)):
-            body = objs.get(int(ref.group(2)))
-            if body is None:
+            entry = objs.get(int(ref.group(2)))
+            if entry is None:
                 continue
-            tu = _TOUNICODE_RE.search(body)
+            tu = _TOUNICODE_RE.search(entry[1])
             if not tu:
                 continue
-            tubody = objs.get(int(tu.group(1)))
-            if tubody is None:
+            tunum = int(tu.group(1))
+            tuentry = objs.get(tunum)
+            if tuentry is None:
                 continue
+            gen, tubody = tuentry
             sm = _STREAM_RE.search(tubody)
             if not sm:
                 continue
-            cmap = _parse_cmap(_inflate(sm.group(1)))
+            raw = sm.group(1)
+            if key is not None:
+                raw = _rc4(_object_key(key, tunum, gen), raw)
+            cmap = _parse_cmap(_inflate(raw))
             if cmap:
                 fonts[ref.group(1).decode("latin-1")] = cmap
     return fonts
@@ -396,17 +533,33 @@ def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
 def extract_pdf_text(payload: Union[bytes, str]) -> str:
     """All recoverable text of a PDF, BT..ET blocks in document order,
     one line per line-positioning operator, blocks separated by
-    newlines.  Encrypted PDFs yield '' (callers should check
-    is_encrypted first to label them).  Never raises on malformed
+    newlines.  RC4 standard-security files with an empty user password
+    are decrypted transparently; encryption this reader cannot open
+    (real password, AES) yields '' — callers check decryption_key()
+    alongside is_encrypted() to label those.  Never raises on malformed
     input — returns ''."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     lines: List[str] = []
     try:
+        key = None
         if is_encrypted(data):
-            return ""
-        fonts = _font_cmaps(data)
-        for sm in _STREAM_RE.finditer(data):
-            content = _inflate(sm.group(1))
+            key = decryption_key(data)
+            if key is None:
+                return ""
+        fonts = _font_cmaps(data, key)
+        if key is None:
+            # unencrypted: whole-file stream scan (also catches streams of
+            # truncated objects with no closing endobj)
+            streams = (sm.group(1) for sm in _STREAM_RE.finditer(data))
+        else:
+            # per-object scan: the RC4 key is salted with (objnum, gen)
+            streams = (
+                _rc4(_object_key(key, int(om.group(1)), int(om.group(2))), sm.group(1))
+                for om in _OBJ_RE.finditer(data)
+                for sm in _STREAM_RE.finditer(om.group(3))
+            )
+        for raw in streams:
+            content = _inflate(raw)
             if b"BT" not in content:
                 continue
             for text in _content_block_texts(content, fonts):
