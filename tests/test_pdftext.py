@@ -303,7 +303,8 @@ def test_rc4_empty_password_pdf_decrypts_r3_128():
 
     pdf = build_encrypted_pdf(CONTENT, r=3, nbits=128)
     assert is_encrypted(pdf)
-    assert decryption_key(pdf) == _file_key(3, 128)
+    crypt = decryption_key(pdf)
+    assert crypt.key == _file_key(3, 128) and not crypt.aes
     text = extract_pdf_text(pdf)
     assert "Hello PDF world." in text and "Kerned array text." in text
     res = bare_extract(pdf, Options(min_extracted_size=0))
@@ -327,11 +328,142 @@ def test_rc4_wrong_user_password_stays_labeled():
     assert res.text is None and res.tier == "pdf_encrypted"
 
 
-def test_aes_v4_stays_labeled():
-    "AES (/V 4) is out of scope: never decrypted, always labeled."
+def test_unsupported_encryption_version_stays_labeled():
+    "An /V above the implemented handlers is refused, never half-parsed."
     from trafilatura_spark.kernel.pdftext import decryption_key
 
-    pdf = build_encrypted_pdf(CONTENT).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    pdf = build_encrypted_pdf(CONTENT).replace(b"/V 2 /R 3", b"/V 6 /R 7")
+    assert decryption_key(pdf) is None
+    assert bare_extract(pdf, Options(min_extracted_size=0)).tier == "pdf_encrypted"
+
+
+# --- AES (FIPS-197 primitive + AESV2 / AESV3 handlers) ----------------------
+
+def test_aes_fips197_known_answer_vectors():
+    "The from-scratch AES is pinned to the official Appendix C vectors."
+    from trafilatura_spark.kernel.aescipher import AES
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = {
+        bytes(range(16)): "69c4e0d86a7b0430d8cdb78070b4c55a",
+        bytes(range(24)): "dda97ca4864cdfe06eaf70a0ec0d7191",
+        bytes(range(32)): "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for key, ct in cases.items():
+        aes = AES(key)
+        assert aes.encrypt_block(pt).hex() == ct
+        assert aes.decrypt_block(bytes.fromhex(ct)) == pt
+
+
+def _aes_stream(okey: bytes, plaintext: bytes) -> bytes:
+    "AESV2/V3 stream layout: IV prefix + CBC ciphertext + PKCS#7 pad."
+    from trafilatura_spark.kernel.aescipher import cbc_encrypt
+
+    iv = bytes(range(16))
+    pad = 16 - len(plaintext) % 16
+    return iv + cbc_encrypt(okey, iv, plaintext + bytes([pad]) * pad)
+
+
+def build_aesv2_pdf(content: bytes, corrupt_u: bool = False) -> bytes:
+    "AES-128 AESV2 (/V 4 /R 4) single-page PDF, empty user password."
+    import hashlib
+
+    key = _file_key(3, 128)  # R4 derives exactly like R3 at 128 bits
+    okey = hashlib.md5(
+        key + (4).to_bytes(3, "little") + (0).to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+    body = _aes_stream(okey, zlib.compress(content))
+    u = bytearray(_u_value(key, 3))  # R4 /U check is the R3 algorithm
+    if corrupt_u:
+        u[0] ^= 0xFF
+    return (
+        b"%PDF-1.6\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P " + str(_P).encode()
+        + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        + b" /O <" + _O.hex().encode() + b"> /U <" + bytes(u).hex().encode()
+        + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<" + _ID0.hex().encode()
+        + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def test_aesv2_empty_password_pdf_decrypts():
+    "AES-128 /V 4 streams decrypt through the sAlT-salted per-object key."
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_aesv2_pdf(CONTENT)
+    crypt = decryption_key(pdf)
+    assert crypt is not None and crypt.aes and crypt.salted
+    text = extract_pdf_text(pdf)
+    assert "Hello PDF world." in text and "Kerned array text." in text
+    assert bare_extract(pdf, Options(min_extracted_size=0)).tier == "pdf"
+    assert decryption_key(build_aesv2_pdf(CONTENT, corrupt_u=True)) is None
+
+
+def build_aes256_pdf(r: int, content: bytes, wrong_pw: bool = False) -> bytes:
+    "AES-256 AESV3 (/V 5, /R 5 or 6) single-page PDF, empty user password."
+    import hashlib
+
+    from trafilatura_spark.kernel.aescipher import cbc_encrypt
+    from trafilatura_spark.kernel.pdftext import _hash_2b
+
+    key = bytes(range(200, 232))  # the 32-byte file key being wrapped
+    vsalt, ksalt = b"VALSALT8", b"KEYSALT8"
+    if r == 6:
+        uhash = _hash_2b(b"", vsalt)
+        ik = _hash_2b(b"", ksalt)
+    else:
+        uhash = hashlib.sha256(vsalt).digest()
+        ik = hashlib.sha256(ksalt).digest()
+    if wrong_pw:
+        uhash = bytes(b ^ 0xFF for b in uhash[:1]) + uhash[1:]
+    u = uhash + vsalt + ksalt
+    ue = cbc_encrypt(ik, b"\x00" * 16, key)
+    body = _aes_stream(key, zlib.compress(content))  # V5: file key directly
+    return (
+        b"%PDF-2.0\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Filter /Standard /V 5 /R " + str(r).encode() + b" /Length 256"
+        b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /P " + str(_P).encode()
+        + b" /O <" + (b"\x00" * 48).hex().encode() + b">"
+        + b" /U <" + u.hex().encode() + b">"
+        + b" /UE <" + ue.hex().encode() + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n"
+    )
+
+
+def test_aes256_r6_empty_password_pdf_decrypts():
+    "AES-256 /R 6: Algorithm 2.B validates the empty password, /UE unwraps."
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_aes256_pdf(6, CONTENT)
+    crypt = decryption_key(pdf)
+    assert crypt is not None and crypt.aes and not crypt.salted and len(crypt.key) == 32
+    assert "Hello PDF world." in extract_pdf_text(pdf)
+    assert bare_extract(pdf, Options(min_extracted_size=0)).tier == "pdf"
+
+
+def test_aes256_r5_empty_password_pdf_decrypts():
+    "Legacy AES-256 /R 5 (single sha256 schedule) also opens."
+    assert "Second line with (escaped) parens." in extract_pdf_text(
+        build_aes256_pdf(5, CONTENT)
+    )
+
+
+def test_aes256_wrong_password_stays_labeled():
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_aes256_pdf(6, CONTENT, wrong_pw=True)
     assert decryption_key(pdf) is None
     assert bare_extract(pdf, Options(min_extracted_size=0)).tier == "pdf_encrypted"
 

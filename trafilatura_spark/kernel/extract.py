@@ -303,10 +303,10 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             from .pdftext import decryption_key, extract_pdf_text, is_encrypted
             from .textutils import sanitize
 
-            # RC4 standard-security with an empty user password decrypts
-            # transparently inside extract_pdf_text; anything it cannot
-            # open (real password, AES) is labeled, never parsed as
-            # garbage
+            # standard-security (RC4/AES) with an empty user password
+            # decrypts transparently inside extract_pdf_text; anything
+            # it cannot open (real password, unknown handler) is
+            # labeled, never parsed as garbage
             if is_encrypted(filecontent) and decryption_key(filecontent) is None:
                 return ExtractionResult(None, "pdf_encrypted", 0, 0)
             pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent)) or "")

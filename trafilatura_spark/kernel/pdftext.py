@@ -24,12 +24,14 @@ self-contained public CMap subset): the object graph is scanned for
 Resources /Font name -> font object -> ToUnicode stream, and shown bytes
 are mapped in codespacerange-sized units to UTF-16BE targets.  Composite
 fonts WITHOUT a ToUnicode map still yield no text (declared gap: full
-predefined-CMap tables are out of scope).  Encrypted PDFs: the RC4
-standard security handler (ISO 32000-1 §7.6.3, /V <= 2) is implemented
-for the EMPTY user password — the common permissions-only encryption —
-with the /U verification gate; files needing a real password or AES
-(/V 4+) are refused and the kernel labels them tier='pdf_encrypted'
-instead of emitting key-stream garbage.
+predefined-CMap tables are out of scope).  Encrypted PDFs: the standard
+security handler is implemented for the EMPTY user password — the
+common permissions-only encryption — across RC4 (/V 1-2, ISO 32000-1
+§7.6.3), AES-128 AESV2 (/V 4) and AES-256 AESV3 (/V 5, /R 5-6 incl.
+the Algorithm 2.B iterated hash), all gated on /U verification; AES
+itself is a from-scratch FIPS-197 implementation (kernel/aescipher.py).
+Files needing a real password are refused and the kernel labels them
+tier='pdf_encrypted' instead of emitting key-stream garbage.
 
 The Spark face: operators/extract.py routes %PDF- payloads here before
 the HTML wrap, emitting tier='pdf' rows through the same mapInPandas
@@ -76,11 +78,11 @@ def is_pdf(payload: Union[bytes, str, None]) -> bool:
 
 def is_encrypted(payload: Union[bytes, str]) -> bool:
     """True when the trailer (or, for cross-reference-stream PDFs, the
-    file tail) carries an /Encrypt reference.  RC4 standard-security
-    files with an EMPTY user password (the common permissions-only
-    encryption) are decrypted by extract_pdf_text; anything else —
-    a real user password, or AES (/V 4+) — is labeled by callers via
-    decryption_key() returning None."""
+    file tail) carries an /Encrypt reference.  Standard-security files
+    (RC4 or AES) with an EMPTY user password — the common
+    permissions-only encryption — are decrypted by extract_pdf_text;
+    anything else (a real user password, a non-standard handler) is
+    labeled by callers via decryption_key() returning None."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     for m in _TRAILER_RE.finditer(data):
         if b"/Encrypt" in m.group(1):
@@ -136,15 +138,48 @@ def _dict_bytes_value(body: bytes, name: bytes) -> Optional[bytes]:
         return None
 
 
-def decryption_key(payload: Union[bytes, str]) -> Optional[bytes]:
-    """File encryption key for a standard-security-handler PDF whose USER
-    password is empty (permissions-only encryption — the overwhelmingly
-    common case), verified against /U per Algorithm 4/5.  None when the
-    file needs a real password, uses AES (/V 4+), or the encrypt
-    dictionary is unreadable — callers label those tier='pdf_encrypted'.
+class PdfCrypt:
+    "Resolved file encryption: key + cipher family + per-object salting."
 
-    Key derivation is Algorithm 2: md5(pad + O + P as le-int32 + ID[0]),
-    50 re-hash rounds for /R 3, truncated to /Length bits."""
+    __slots__ = ("key", "aes", "salted")
+
+    def __init__(self, key: bytes, aes: bool, salted: bool):
+        self.key = key       # file key (5-16 bytes RC4/AES-128, 32 AES-256)
+        self.aes = aes       # AES-CBC (IV-prefixed streams) vs RC4
+        self.salted = salted  # per-object md5 salting (V<=4) vs direct (V5)
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    "ISO 32000-2 Algorithm 2.B iterated password hash (R6)."
+    import hashlib
+
+    from .aescipher import cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    count = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        count += 1
+        if count >= 64 and e[-1] <= count - 32:
+            break
+    return k[:32]
+
+
+def decryption_key(payload: Union[bytes, str]) -> Optional[PdfCrypt]:
+    """File encryption for a standard-security-handler PDF whose USER
+    password is empty (permissions-only encryption — the overwhelmingly
+    common case), verified against /U.  Handles RC4 (/V 1-2, /R 2-3),
+    AES-128 AESV2 (/V 4, /R 4) and AES-256 AESV3 (/V 5, /R 5-6).  None
+    when the file needs a real password or the encrypt dictionary is
+    unreadable — callers label those tier='pdf_encrypted'.
+
+    RC4/AESV2 key derivation is Algorithm 2: md5(pad + O + P as
+    le-int32 + ID[0] [+ ffffffff when /EncryptMetadata false]), 50
+    re-hash rounds for /R >= 3, truncated to /Length bits.  AES-256 uses
+    the SHA-2 schedule: /R 5 single sha256, /R 6 the iterated Algorithm
+    2.B hash; the file key is unwrapped from /UE."""
     import hashlib
     import struct
 
@@ -170,12 +205,41 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[bytes]:
         v = ints.get(b"V", 1)
         p = ints.get(b"P", -1)
         nbits = ints.get(b"Length", 40) if v >= 2 else 40
-        if v > 2 or r > 3:  # AES / crypt filters: out of scope, stay labeled
-            return None
         o = _dict_bytes_value(body, b"O")
         u = _dict_bytes_value(body, b"U")
         if not o or not u:
             return None
+
+        if v == 5 and r in (5, 6):
+            from .aescipher import cbc_decrypt
+
+            ue = _dict_bytes_value(body, b"UE")
+            if not ue or len(u) < 48:
+                return None
+            vsalt, ksalt = u[32:40], u[40:48]
+            if r == 6:
+                if _hash_2b(b"", vsalt) != u[:32]:
+                    return None
+                ik = _hash_2b(b"", ksalt)
+            else:
+                if hashlib.sha256(vsalt).digest() != u[:32]:
+                    return None
+                ik = hashlib.sha256(ksalt).digest()
+            key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])[:32]
+            return PdfCrypt(key, aes=True, salted=False)
+
+        if v > 4 or r > 4:
+            return None
+        aes = False
+        if v == 4:
+            # crypt filter: only the standard /StdCF with AESV2 or V2 (RC4)
+            if b"/AESV2" in body:
+                aes = True
+            elif b"/V2" not in body:
+                return None
+        extra = b""
+        if r >= 4 and re.search(rb"/EncryptMetadata\s+false", body):
+            extra = b"\xff\xff\xff\xff"
         id0 = b""
         idm = _ID_HEX_RE.search(data)
         if idm:
@@ -185,7 +249,7 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[bytes]:
             if idm:
                 id0, _ = _parse_literal(data, idm.end() - 1)
         n = max(5, min(nbits // 8, 16))
-        digest = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+        digest = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
         if r >= 3:
             for _ in range(50):
                 digest = hashlib.md5(digest[:n]).digest()
@@ -199,18 +263,31 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[bytes]:
             for i in range(1, 20):
                 t = _rc4(bytes(b ^ i for b in key), t)
             ok = t[:16] == u[:16]
-        return key if ok else None
+        return PdfCrypt(key, aes=aes, salted=True) if ok else None
     except Exception:
         return None
 
 
-def _object_key(key: bytes, num: int, gen: int) -> bytes:
-    "Per-object RC4 key (Algorithm 1): md5(key + objnum<le24> + gen<le16>)."
+def _object_key(crypt: PdfCrypt, num: int, gen: int) -> bytes:
+    """Per-object key (Algorithm 1): md5(key + objnum<le24> + gen<le16>
+    [+ sAlT for AESV2]); V5 uses the file key directly."""
     import hashlib
 
+    if not crypt.salted:
+        return crypt.key
+    salt = b"sAlT" if crypt.aes else b""
     return hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-    ).digest()[: min(len(key) + 5, 16)]
+        crypt.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
+    ).digest()[: min(len(crypt.key) + 5, 16)]
+
+
+def _decrypt_stream(crypt: PdfCrypt, num: int, gen: int, raw: bytes) -> bytes:
+    okey = _object_key(crypt, num, gen)
+    if crypt.aes:
+        from .aescipher import pdf_stream_decrypt
+
+        return pdf_stream_decrypt(okey, raw)
+    return _rc4(okey, raw)
 
 
 # --- content-stream lexer ---------------------------------------------------
@@ -397,12 +474,13 @@ def _inflate(raw: bytes) -> bytes:
         return raw  # uncompressed content stream
 
 
-def _font_cmaps(data: bytes, key: Optional[bytes] = None) -> Dict[str, CMap]:
+def _font_cmaps(data: bytes, key: Optional["PdfCrypt"] = None) -> Dict[str, CMap]:
     """Resource font name -> ToUnicode CMap, from the object graph:
     /Font << /F1 N 0 R >> dicts name fonts, font objects reference their
     /ToUnicode stream.  Names are global last-wins — per-page resource
-    scoping is out of scope for this labeled simple reader.  With an RC4
-    file ``key``, stream bodies are decrypted per object first."""
+    scoping is out of scope for this labeled simple reader.  With a
+    resolved ``key`` (PdfCrypt), stream bodies are decrypted per object
+    first."""
     objs: Dict[int, Tuple[int, bytes]] = {}
     for m in _OBJ_RE.finditer(data):
         objs[int(m.group(1))] = (int(m.group(2)), m.group(3))
@@ -425,7 +503,7 @@ def _font_cmaps(data: bytes, key: Optional[bytes] = None) -> Dict[str, CMap]:
                 continue
             raw = sm.group(1)
             if key is not None:
-                raw = _rc4(_object_key(key, tunum, gen), raw)
+                raw = _decrypt_stream(key, tunum, gen, raw)
             cmap = _parse_cmap(_inflate(raw))
             if cmap:
                 fonts[ref.group(1).decode("latin-1")] = cmap
@@ -533,11 +611,11 @@ def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
 def extract_pdf_text(payload: Union[bytes, str]) -> str:
     """All recoverable text of a PDF, BT..ET blocks in document order,
     one line per line-positioning operator, blocks separated by
-    newlines.  RC4 standard-security files with an empty user password
-    are decrypted transparently; encryption this reader cannot open
-    (real password, AES) yields '' — callers check decryption_key()
-    alongside is_encrypted() to label those.  Never raises on malformed
-    input — returns ''."""
+    newlines.  Standard-security files (RC4 or AES) with an empty user
+    password are decrypted transparently; encryption this reader cannot
+    open (real password, unknown handler) yields '' — callers check
+    decryption_key() alongside is_encrypted() to label those.  Never
+    raises on malformed input — returns ''."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     lines: List[str] = []
     try:
@@ -552,9 +630,9 @@ def extract_pdf_text(payload: Union[bytes, str]) -> str:
             # truncated objects with no closing endobj)
             streams = (sm.group(1) for sm in _STREAM_RE.finditer(data))
         else:
-            # per-object scan: the RC4 key is salted with (objnum, gen)
+            # per-object scan: keys are salted with (objnum, gen) for V<=4
             streams = (
-                _rc4(_object_key(key, int(om.group(1)), int(om.group(2))), sm.group(1))
+                _decrypt_stream(key, int(om.group(1)), int(om.group(2)), sm.group(1))
                 for om in _OBJ_RE.finditer(data)
                 for sm in _STREAM_RE.finditer(om.group(3))
             )
