@@ -96,12 +96,37 @@ def test_check_authors_splits_on_bare_semicolon():
     assert check_authors("John Smith", {"john smith"}) is None
 
 
-# --- labeled unsupported-compression discard (VERDICT item 6; reference
-# utils.py:107-141 decodes zstd via the zstandard lib, absent here) -----------
+# --- compressed payloads (reference utils.py:107-141 cascade; zstd and
+# brotli bind the system shared libraries via ctypes, no pip) -----------------
 
-def test_zstd_magic_yields_labeled_discard():
+def test_zstd_payload_decodes_end_to_end():
+    import pytest
+
+    from trafilatura_spark.kernel.cdecompress import HAS_ZSTD, zstd_compress
+
+    if not HAS_ZSTD:
+        pytest.skip("libzstd absent")
+    res = bare_extract(zstd_compress(FULL_PAGE.encode("utf-8")), Options(min_extracted_size=0))
+    assert res.text and "Long enough body text" in res.text
+
+
+def test_brotli_payload_decodes_end_to_end():
+    import pytest
+
+    from trafilatura_spark.kernel.cdecompress import HAS_BROTLI, brotli_compress
+
+    if not HAS_BROTLI:
+        pytest.skip("libbrotli absent")
+    res = bare_extract(brotli_compress(FULL_PAGE.encode("utf-8")), Options(min_extracted_size=0))
+    assert res.text and "Long enough body text" in res.text
+
+
+def test_zstd_magic_without_decoder_yields_labeled_discard(monkeypatch):
+    "The labeled discard is the degradation path when libzstd is absent."
+    from trafilatura_spark.kernel import cdecompress
     from trafilatura_spark.kernel.loader import ZSTD_MAGIC
 
+    monkeypatch.setattr(cdecompress, "HAS_ZSTD", False)
     payload = ZSTD_MAGIC + b"\x00" * 64
     res = bare_extract(payload, Options(min_extracted_size=0))
     assert res.text is None and res.tier == "unsupported_input"

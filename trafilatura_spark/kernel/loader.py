@@ -39,19 +39,34 @@ ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
 def handle_compressed_file(filecontent: bytes) -> bytes:
-    """Magic-number decompression cascade (utils.py:107-141).  gzip/zlib
-    decode here; zstd is DETECTED by frame magic and rejected as
-    UnsupportedCompression (the lib is absent — a labeled discard beats a
-    garbage parse).  Brotli has no magic number and stays undetectable."""
+    """Magic-number decompression cascade in the reference's order
+    (utils.py:107-141: gzip -> zstd -> brotli -> zlib).  zstd and brotli
+    bind the SYSTEM shared libraries via ctypes (kernel/cdecompress.py,
+    no pip); when a library is absent, a zstd-magic payload is rejected
+    as UnsupportedCompression (labeled discard beats a garbage parse)
+    and brotli — which has no magic number — stays undetectable, exactly
+    the reference's HAS_* degradation."""
     if not isinstance(filecontent, bytes):
         return filecontent
+    from .cdecompress import HAS_BROTLI, HAS_ZSTD, brotli_decompress, zstd_decompress
+
     if filecontent[:3] == b"\x1f\x8b\x08":
         try:
             return gzip.decompress(filecontent)
         except Exception:
             pass
     if filecontent[:4] == ZSTD_MAGIC:
-        raise UnsupportedCompression("zstd")
+        if not HAS_ZSTD:
+            raise UnsupportedCompression("zstd")
+        try:
+            return zstd_decompress(filecontent)
+        except (ValueError, RuntimeError):
+            pass  # invalid frame despite the magic: fall through as-is
+    if HAS_BROTLI:
+        try:
+            return brotli_decompress(filecontent)
+        except (ValueError, RuntimeError):
+            pass
     try:
         return zlib.decompress(filecontent)
     except zlib.error:
