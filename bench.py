@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     # Gopher quality rules: pure JVM projection, the cheapest per-row
     # pipeline stage — benched so the no-shuffle claim has a number
     "text_quality_gopher",
+    # Gopher repetition signals: the explode->partial-agg shape
+    "text_quality_repetition",
 ]
 
 

@@ -420,3 +420,23 @@ def test_quality_gopher_rules(spark):
     assert rows[3].passes is False and rows[3].dup_line_ratio > 0.9
     assert rows[4].passes is False and rows[4].n_words < 50
     assert rows[1].stopword_hits >= 2 and rows[1].alpha_word_ratio >= 0.9
+
+
+def test_quality_repetition_rules(spark):
+    "Gopher repetition fractions: spam 2-grams and a repeated 10-gram fail."
+    from trafilatura_spark.operators.textstats import quality_repetition
+
+    spam = "buy now " * 30                         # one 2-gram dominates
+    sentence = "the quick brown fox jumps over the lazy dog today"  # 10 words
+    repeated = (sentence + " ") * 3                # duplicated 10-gram
+    normal = (
+        "every token in this sentence appears exactly once because the "
+        "writer varied wording deliberately across clauses and phrases"
+    )
+    df = spark.createDataFrame(
+        [(1, spam), (2, repeated), (3, normal)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in quality_repetition(df).collect()}
+    assert rows[1].rep_passes is False and rows[1].top2_char_frac > 0.2
+    assert rows[2].rep_passes is False and rows[2].dup10_char_frac > 0.1
+    assert rows[3].rep_passes is True and rows[3].dup5_char_frac == 0.0

@@ -261,6 +261,132 @@ def quality_gopher_sql(table: str = "documents", id_col: str = "doc_id", text_co
     """
 
 
+# repetition thresholds published for MassiveWeb (Rae et al. 2021 §A1.1):
+# most-frequent-n-gram character fraction for short n, duplicated-n-gram
+# character fraction for long n
+REP_TOP_THRESHOLDS = {2: 0.20, 3: 0.18}
+REP_DUP_THRESHOLDS = {5: 0.15, 10: 0.10}
+
+
+def _ngram_expr(toks, n: int):
+    "Space-joined word n-grams of the token array (empty when too short)."
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition signals: fraction of document characters covered
+    by the single most frequent 2-/3-gram and by ALL duplicated 5-/10-
+    grams, with the published pass thresholds.
+
+    The other half of the Gopher rule set next to quality_gopher's
+    word/line statistics — repetitive machine-generated or boilerplate
+    text scores high here while length-based stats look normal.
+    Shape at 100 TB: per-n explode -> two-level partial aggregation,
+    all keyed by doc_id — shuffles carry (doc_id, ngram) pairs only and
+    map-side combine collapses each document's duplicates early."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+    )
+    out = base.select(F.col(id_col), F.greatest("n_chars", F.lit(1)).alias("n_chars"))
+    metrics = []
+    for n, mode in [(2, "top"), (3, "top"), (5, "dup"), (10, "dup")]:
+        ex = base.select(
+            F.col(id_col), F.explode(_ngram_expr(F.col("toks"), n)).alias("g")
+        )
+        counts = ex.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+        if mode == "top":
+            # min(struct(-cnt, g)) == highest count, ties to the smallest
+            # n-gram — the same ORDER BY cnt DESC, g ASC as the SQL twin
+            agg = counts.groupBy(id_col).agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g"))).alias("top")
+            ).select(
+                F.col(id_col),
+                ((-F.col("top.nc")) * F.length("top.g")).alias(f"_chars_{n}"),
+            )
+        else:
+            agg = counts.groupBy(id_col).agg(
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
+                ).alias(f"_chars_{n}")
+            )
+        name = f"{mode}{n}_char_frac"
+        metrics.append(name)
+        out = out.join(agg, id_col, "left").withColumn(
+            name,
+            F.round(F.coalesce(F.col(f"_chars_{n}"), F.lit(0)) / F.col("n_chars"), 6),
+        ).drop(f"_chars_{n}")
+    passes = None
+    for n, thr in REP_TOP_THRESHOLDS.items():
+        cond = F.col(f"top{n}_char_frac") <= thr
+        passes = cond if passes is None else (passes & cond)
+    for n, thr in REP_DUP_THRESHOLDS.items():
+        passes = passes & (F.col(f"dup{n}_char_frac") <= thr)
+    return out.select(
+        F.col(id_col), *metrics, passes.alias("rep_passes")
+    )
+
+
+def quality_repetition_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    "DuckDB twin of quality_repetition (identical tokenization and ties)."
+    parts = []
+    for n, mode in [(2, "top"), (3, "top"), (5, "dup"), (10, "dup")]:
+        grams = (
+            f"[array_to_string(toks[i:i+{n - 1}], ' ') "
+            f"FOR i IN generate_series(1, len(toks) - {n} + 1)]"
+        )
+        counts = f"""
+      SELECT {id_col}, g, COUNT(*) AS cnt
+      FROM (SELECT {id_col}, unnest(CASE WHEN len(toks) >= {n} THEN {grams}
+                                         ELSE [] END) AS g FROM base)
+      GROUP BY {id_col}, g"""
+        if mode == "top":
+            parts.append(f"""
+    m_{mode}{n} AS (
+      SELECT {id_col}, cnt * length(g) AS chars FROM (
+        SELECT {id_col}, g, cnt,
+               ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY cnt DESC, g ASC) AS rn
+        FROM ({counts})
+      ) WHERE rn = 1
+    )""")
+        else:
+            parts.append(f"""
+    m_{mode}{n} AS (
+      SELECT {id_col}, SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS chars
+      FROM ({counts}) GROUP BY {id_col}
+    )""")
+    conds = [f"top{n}_char_frac <= {t}" for n, t in REP_TOP_THRESHOLDS.items()] + [
+        f"dup{n}_char_frac <= {t}" for n, t in REP_DUP_THRESHOLDS.items()
+    ]
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             regexp_split_to_array(lower(trim({text_col})), '\\s+') AS toks,
+             GREATEST(length(trim({text_col})), 1) AS n_chars
+      FROM {table}
+    ),{",".join(parts)}
+    SELECT b.{id_col},
+           ROUND(COALESCE(m_top2.chars, 0) * 1.0 / b.n_chars, 6) AS top2_char_frac,
+           ROUND(COALESCE(m_top3.chars, 0) * 1.0 / b.n_chars, 6) AS top3_char_frac,
+           ROUND(COALESCE(m_dup5.chars, 0) * 1.0 / b.n_chars, 6) AS dup5_char_frac,
+           ROUND(COALESCE(m_dup10.chars, 0) * 1.0 / b.n_chars, 6) AS dup10_char_frac,
+           ({" AND ".join(conds)}) AS rep_passes
+    FROM base b
+    LEFT JOIN m_top2 USING ({id_col})
+    LEFT JOIN m_top3 USING ({id_col})
+    LEFT JOIN m_dup5 USING ({id_col})
+    LEFT JOIN m_dup10 USING ({id_col})
+    """
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     "Deterministic document fingerprint: md5 of whitespace-normalized lowercase text."
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

@@ -619,6 +619,13 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_gopher(_t(spark, sf_dir, "documents"))
 
 
+def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (top 2-/3-gram and duplicated 5-/10-gram
+    character fractions + pass verdict) — the other half of the Gopher
+    rule set next to text_quality_gopher's word/line statistics."""
+    return T.quality_repetition(_t(spark, sf_dir, "documents"))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs.  Testdata embeddings are near-random
     (max pair cosine ~0.51), so the oracle entry uses threshold 0.4 with
@@ -976,6 +983,7 @@ SPARK_QUERIES = {
     "ann_lsh_multitable_topk": ann_lsh_multitable_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality_gopher": text_quality_gopher,
+    "text_quality_repetition": text_quality_repetition,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
@@ -1023,6 +1031,7 @@ ORACLE_SQL = {
     "ann_lsh_multitable_topk": S.lsh_multitable_topk_sql(),
     "ann_ivf_topk": S.ivf_topk_sql(),
     "text_quality_gopher": T.quality_gopher_sql(),
+    "text_quality_repetition": T.quality_repetition_sql(),
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
