@@ -440,3 +440,51 @@ def test_quality_repetition_rules(spark):
     assert rows[1].rep_passes is False and rows[1].top2_char_frac > 0.2
     assert rows[2].rep_passes is False and rows[2].dup10_char_frac > 0.1
     assert rows[3].rep_passes is True and rows[3].dup5_char_frac == 0.0
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On clustered embeddings, IVF recall@3 for the query vectors must be
+    high: same-cluster vectors land in the same Voronoi cell, so probing
+    nprobe cells finds the true neighbors."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from trafilatura_spark.operators.similarity import _cosine, ivf_topk
+
+    def unit(seed: str):
+        d = hashlib.sha1(seed.encode()).digest() * 4
+        return [1.0 if (d[i // 8] >> (i % 8)) & 1 else -1.0 for i in range(64)]
+
+    # interleave clusters so the first-16-ids seeding sees many clusters
+    rows = []
+    vid = 0
+    for m in range(12):
+        for c in range(8):
+            center = unit(f"center{c}")
+            noise = unit(f"noise{c}:{m}")
+            rows.append((vid, [ci + 0.25 * ni for ci, ni in zip(center, noise)]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    k, nq = 3, 5
+    vecs = df.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    left = vecs.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    right = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        left.join(right, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    true_pairs = {(r.query_id, r.neighbor_id) for r in truth}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(df, n_queries=nq, k=k).collect()}
+    recall = len(true_pairs & got) / len(true_pairs)
+    print(f"IVF recall@{k} (clustered): {recall:.3f}")
+    assert recall >= 0.6

@@ -519,6 +519,76 @@ ORDER BY cust_key
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) decorrelated into an aggregate + equi-join.  The per-part
+    averages table is corpus-keyed, so it SHUFFLE-joins (never
+    broadcast); map-side partial aggregation collapses each part's
+    lineitems before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q_SCALAR_SUBQ_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile segmentation over per-customer spend: aggregate ->
+    global ranking window -> re-aggregate per decile.  The single-
+    partition NTILE window ranks one row per CUSTOMER (already reduced),
+    so the serial stage is keys-only — the standard shape for global
+    quantile bucketing at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("total"), 2).alias("decile_spend"),
+            F.round(F.avg("total"), 2).alias("avg_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, total,
+         NTILE(10) OVER (ORDER BY total DESC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers, ROUND(SUM(total), 2) AS decile_spend,
+       ROUND(AVG(total), 2) AS avg_spend
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
 # --- training-pipeline operators ------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,6 +1035,8 @@ SPARK_QUERIES = {
     "q_order_percentiles": q_order_percentiles,
     "q_orders_priority_exists": q_orders_priority_exists,
     "q_repeat_customers_setop": q_repeat_customers_setop,
+    "q_small_quantity_revenue": q_small_quantity_revenue,
+    "q_customer_value_deciles": q_customer_value_deciles,
     "dedup_exact": dedup_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "dedup_minhash": dedup_minhash,
@@ -1012,6 +1084,8 @@ ORACLE_SQL = {
     "q_order_percentiles": Q_PERCENTILES_SQL,
     "q_orders_priority_exists": Q_EXISTS_SQL,
     "q_repeat_customers_setop": Q_SETOP_SQL,
+    "q_small_quantity_revenue": Q_SCALAR_SUBQ_SQL,
+    "q_customer_value_deciles": Q_DECILES_SQL,
     "dedup_exact": D.exact_dedup_sql(),
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
     "dedup_minhash": D.minhash_signatures_sql(),
