@@ -417,3 +417,27 @@ def test_date_window_rides_options_and_filters_jsonld():
         doc, Options(min_extracted_size=0, with_metadata=True, date_max="2030-01-01")
     )
     assert capped.metadata.date == "2024-03-12"  # fell through to free text
+
+
+def test_url_normalization_courlan_shape():
+    """The winning URL is validated then normalized (reference
+    metadata.py:393-394): lowercased scheme/host, default ports and
+    tracking parameters stripped, hashbang fragments kept."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import extract_metadata, normalize_url
+
+    assert normalize_url("HTTPS://Example.COM:443/Path/Page?utm_source=x&id=3&fbclid=z#top") == \
+        "https://example.com/Path/Page?id=3"
+    assert normalize_url("http://host.org:80/a?b=1#!/route") == "http://host.org/a?b=1#!/route"
+
+    doc = (
+        '<html><head><title>T – S</title>'
+        '<link rel="canonical" href="HTTP://News.Example.ORG/story?utm_campaign=mail&page=2"/>'
+        "</head><body><p>x</p></body></html>"
+    )
+    meta = extract_metadata(doc)
+    assert meta.url == "http://news.example.org/story?page=2"
+    # an invalid fallback URL is nullified, not passed through (courlan
+    # validate_url semantics)
+    meta2 = extract_metadata("<html><body><p>x</p></body></html>", "not-a-url")
+    assert meta2.url is None

@@ -133,6 +133,37 @@ def _is_valid_url(url: Optional[str]) -> bool:
     return parsed.scheme in ("http", "https") and bool(parsed.netloc)
 
 
+_TRACKING_PARAM_RE = re.compile(
+    r"^(?:utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_[a-z]+|igshid|ref_?src)$", re.I
+)
+
+
+def normalize_url(url: str) -> str:
+    """Canonical URL form, standing in for courlan.normalize_url (the
+    reference validates+normalizes the extracted URL at
+    metadata.py:393-394): lowercase scheme and host, strip default
+    ports, drop ad/analytics tracking query parameters (remaining
+    parameters keep their order), drop fragments except hashbang
+    routing (#!...)."""
+    parts = urlparse(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    query = "&".join(
+        p for p in parts.query.split("&")
+        if p and not _TRACKING_PARAM_RE.match(p.partition("=")[0])
+    )
+    out = f"{scheme}://{netloc}{parts.path}"
+    if query:
+        out += "?" + query
+    if parts.fragment.startswith("!"):
+        out += "#" + parts.fragment
+    return out
+
+
 def normalize_authors(current_authors: Optional[str], author_string: str) -> Optional[str]:
     "Focus author info on names only (json_metadata.py:289-335)."
     new_authors = []
@@ -489,7 +520,12 @@ def extract_url(tree: Element, default_url: Optional[str] = None) -> Optional[st
                     break
     if url and not _is_valid_url(url):
         url = None
-    return url or default_url
+    url = url or default_url
+    # the reference validates THEN normalizes whatever URL won the ladder
+    # (metadata.py:393-394, courlan validate_url + normalize_url)
+    if url:
+        url = normalize_url(url) if _is_valid_url(url) else None
+    return url
 
 
 def extract_domain(url: str) -> Optional[str]:
