@@ -441,3 +441,22 @@ def test_url_normalization_courlan_shape():
     # validate_url semantics)
     meta2 = extract_metadata("<html><body><p>x</p></body></html>", "not-a-url")
     assert meta2.url is None
+
+
+def test_find_date_slavic_turkish_month_names():
+    "Russian/Ukrainian/Turkish/Polish/Czech textual dates (genitive forms)."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    cases = {
+        "<p>Опубликовано 5 января 2020 года.</p>": "2020-01-05",
+        "<p>Обновлено: 17 сентября 2021.</p>": "2021-09-17",
+        "<p>Опубліковано 3 травня 2019 року.</p>": "2019-05-03",
+        "<p>Yayınlanma tarihi: 12 Mart 2022.</p>": "2022-03-12",
+        "<p>Güncelleme: 1 Ağustos 2018.</p>": "2018-08-01",
+        "<p>Opublikowano 9 października 2017 r.</p>": "2017-10-09",
+        "<p>Zveřejněno 21. července 2023.</p>": "2023-07-21",
+    }
+    for frag, expected in cases.items():
+        tree = load_html(f"<html><body>{frag}</body></html>")
+        assert find_date(tree) == expected, frag

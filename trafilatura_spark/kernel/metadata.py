@@ -694,6 +694,29 @@ _MONTHS = {
     # Dutch (april/september/november/juni/juli/mei/oktober shared above)
     "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
     "december": 12,
+    # Russian (genitive, the form dates use: '5 января 2020')
+    "января": 1, "февраля": 2, "марта": 3, "апреля": 4, "мая": 5,
+    "июня": 6, "июля": 7, "августа": 8, "сентября": 9, "октября": 10,
+    "ноября": 11, "декабря": 12,
+    # Ukrainian (genitive)
+    "січня": 1, "лютого": 2, "березня": 3, "квітня": 4, "травня": 5,
+    "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
+    "листопада": 11, "грудня": 12,
+    # Turkish
+    "ocak": 1, "şubat": 2, "subat": 2, "mart": 3, "nisan": 4,
+    "mayıs": 5, "mayis": 5, "haziran": 6, "temmuz": 7, "ağustos": 8,
+    "agustos": 8, "eylül": 9, "eylul": 9, "ekim": 10, "kasım": 11,
+    "kasim": 11, "aralık": 12, "aralik": 12,
+    # Polish (genitive)
+    "stycznia": 1, "lutego": 2, "marca": 3, "kwietnia": 4, "maja": 5,
+    "czerwca": 6, "lipca": 7, "sierpnia": 8, "września": 9,
+    "wrzesnia": 9, "października": 10, "pazdziernika": 10,
+    "listopada": 11, "grudnia": 12,
+    # Czech (genitive)
+    "ledna": 1, "února": 2, "unora": 2, "března": 3, "brezna": 3,
+    "dubna": 4, "května": 5, "kvetna": 5, "června": 6, "cervna": 6,
+    "července": 7, "cervence": 7, "srpna": 8, "září": 9, "zari": 9,
+    "října": 10, "rijna": 10, "listopadu": 11, "prosince": 12,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
 # optional 'de' infixes cover the es/pt '17 de agosto de 2021' form
