@@ -163,6 +163,29 @@ def main() -> int:
     p = plan_of(Q.q_orders_priority_exists(spark, sf_dir))
     check("exists query uses semi join", "LeftSemi" in p)
 
+    # repetition signals: partial aggregation before every exchange, no
+    # Python, no cartesian
+    r = Q.text_quality_repetition(spark, sf_dir)
+    r.collect()
+    p = plan_of(r)
+    check("repetition partial aggregation", "partial_" in p)
+    check("repetition no Python / no cartesian", "Python" not in p and "CartesianProduct" not in p)
+
+    # Q17 shape: the per-part thresholds table is corpus-keyed — under a
+    # non-AQE static plan it must NOT broadcast (same rule as the
+    # jaccard counts join)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    p = plan_of(Q.q_small_quantity_revenue(spark, sf_dir))
+    check("scalar-subquery thresholds join is shuffle", "SortMergeJoin" in p or "ShuffledHashJoin" in p)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    # deciles: the global NTILE window runs over the REDUCED per-customer
+    # table (aggregate below the window), never over raw orders
+    p = plan_of(Q.q_customer_value_deciles(spark, sf_dir))
+    check("deciles window above aggregate", "Window" in p and "partial_" in p)
+
     spark.stop()
     failures = [n for n, ok in CHECKS if not ok]
     print(f"{len(CHECKS) - len(failures)}/{len(CHECKS)} plan assertions hold")
