@@ -1,0 +1,90 @@
+"""Production entrypoint: checkpoint-resumable extraction via spark-submit.
+
+The deployment shape the north rule names — `spark-submit --py-files` on
+a multi-executor cluster:
+
+    cd /root/repo && zip -qr /tmp/tspark.zip trafilatura_spark
+    spark-submit --master <cluster> --py-files /tmp/tspark.zip \
+        tools/submit_extract.py --input /path/to/transcripts_parquet \
+        --output /path/to/out --n-buckets 64 --wave-size 16
+
+Input: a parquet table with (conv_id string, turn_idx int, text string)
+— extra columns are ignored.  Output: parquet partitioned by lineage
+bucket plus a per-bucket manifest with extraction metrics; re-running
+the same command resumes from the manifest (only missing buckets run).
+
+`--synthetic N` generates the deterministic N-conversation fixture
+corpus instead of reading --input (smoke runs on a bare cluster).
+Prints ONE summary JSON line on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# repo-checkout fallback; under --py-files the zip already provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="parquet path with (conv_id, turn_idx, text)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate an N-conversation fixture corpus instead of --input")
+    ap.add_argument("--output", required=True, help="output path (data/ + lineage manifest)")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--wave-size", type=int, default=16)
+    ap.add_argument("--favor", choices=["precision", "recall", "balanced"], default="balanced")
+    ap.add_argument("--target-lang", default=None, help="ISO code; mismatches are discarded")
+    args = ap.parse_args()
+    if not args.input and not args.synthetic:
+        ap.error("one of --input / --synthetic is required")
+
+    spark = SparkSession.builder.appName("trafilatura-spark-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from trafilatura_spark.kernel import Options
+    from trafilatura_spark.plans.lineage import read_manifest, run_resumable_extraction
+
+    if args.synthetic:
+        from trafilatura_spark.fixtures import transcripts_df
+
+        df = transcripts_df(spark, args.synthetic)
+    else:
+        df = spark.read.parquet(args.input).select("conv_id", "turn_idx", "text")
+
+    options = Options(
+        focus=args.favor if args.favor != "balanced" else "balanced",
+        lang=args.target_lang,
+    )
+    summary = run_resumable_extraction(
+        spark, df, args.output,
+        n_buckets=args.n_buckets, wave_size=args.wave_size, options=options,
+    )
+    manifest = read_manifest(spark, args.output)
+    totals = manifest.agg(
+        F.sum("n_turns").alias("turns"),
+        F.sum("n_extracted").alias("extracted"),
+        F.sum("chars_kept").alias("chars_kept"),
+        F.sum("n_main").alias("main"),
+        F.sum("n_discarded").alias("discarded"),
+    ).collect()[0]
+    summary.update(
+        turns=int(totals.turns or 0),
+        extracted=int(totals.extracted or 0),
+        chars_kept=int(totals.chars_kept or 0),
+        tier_main=int(totals.main or 0),
+        discarded=int(totals.discarded or 0),
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
