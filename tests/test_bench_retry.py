@@ -52,10 +52,36 @@ def test_stolen_window_triggers_one_retry_pair(monkeypatch):
     assert out["scaling_efficiency"] == 1.0
 
 
-def test_stolen_job_but_quiet_control_does_not_retry(monkeypatch):
-    "A slow JOB in a quiet window is a real result — no retry laundering."
+def test_stolen_job_but_stable_quiet_window_does_not_retry(monkeypatch):
+    """A slow JOB in a STABLE quiet window (legs agree within 15%, healthy
+    CPU control) is a real result — no retry laundering."""
     mod = load_bench()
     walls, hw = _patch(mod, [50.0, 100.0, 52.0, 101.0], [1.0, 3.9], monkeypatch)
     out = mod.scaling_section(1000, 4, 16)
     assert walls == [] and hw == []
     assert out["scaling_efficiency"] == 0.5  # recorded honestly
+    assert out["retried"] is False
+    assert out["wall_spread_high"] == 1.04
+
+
+def test_unstable_legs_with_quiet_control_retries(monkeypatch):
+    """The CPU probe is blind to disk/memory-bandwidth interference
+    (round-4: same code read 0.957 under an 0.846 control, then 0.692
+    under a 0.991 control) — when the job's OWN repeated legs at one
+    level disagree by > 15%, the window is proven unstable and one
+    bounded symmetric retry runs even though the control looks quiet."""
+    mod = load_bench()
+    # high legs 70 vs 40 (spread 1.75): best-of eff = (100/40)/4 = 0.625
+    # < 0.8, control healthy (3.9/4 ≈ 0.975) — old rule never retried here
+    walls, hw = _patch(
+        mod,
+        [70.0, 100.0, 40.0, 101.0, 25.0, 100.0],  # +1 retry pair
+        [1.0, 3.9, 1.0, 3.9],
+        monkeypatch,
+    )
+    out = mod.scaling_section(1000, 4, 16)
+    assert walls == [] and hw == []
+    assert out["retried"] is True
+    assert out["pre_retry_efficiency"] < 0.8
+    assert out["wall_high"] == 25.0 and out["scaling_efficiency"] == 1.0
+    assert out["wall_spread_high"] == 1.75  # the audit trail of WHY
