@@ -109,3 +109,66 @@ def test_langid_total_on_arbitrary_text(raw):
     assert strict is None or isinstance(strict, str)
     if lenient is not None:
         assert strict is not None  # strict never knows LESS than default
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=16, max_size=16) | st.binary(min_size=32, max_size=32),
+    st.binary(min_size=0, max_size=96),
+)
+def test_aes_cbc_roundtrip(key, data):
+    "CBC encrypt/decrypt are inverses for any key size and block-aligned data."
+    from trafilatura_spark.kernel.aescipher import cbc_decrypt, cbc_encrypt
+
+    pad = (-len(data)) % 16
+    plain = data + b"\x00" * pad
+    iv = bytes(range(16))
+    assert cbc_decrypt(key, iv, cbc_encrypt(key, iv, plain)) == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_zstd_brotli_roundtrip_and_garbage_totality(blob):
+    "System-library codecs roundtrip any payload; garbage never crashes."
+    import pytest
+
+    from trafilatura_spark.kernel.cdecompress import (
+        HAS_BROTLI, HAS_ZSTD, brotli_compress, brotli_decompress,
+        zstd_compress, zstd_decompress)
+
+    if not (HAS_ZSTD and HAS_BROTLI):
+        pytest.skip("system codec libraries absent")
+    assert zstd_decompress(zstd_compress(blob)) == blob
+    assert brotli_decompress(brotli_compress(blob)) == blob
+    for fn in (zstd_decompress, brotli_decompress):
+        try:
+            fn(b"\x28\xb5\x2f\xfd" + blob[:64])
+        except (ValueError, RuntimeError):
+            pass  # rejection is the expected outcome; crashes are not
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_url_total_and_idempotent(raw):
+    "normalize_url never raises and is idempotent on its own output."
+    from trafilatura_spark.kernel.metadata import normalize_url
+
+    try:
+        once = normalize_url(raw)
+    except ValueError:
+        return  # urllib rejects some malformed ports; never other errors
+    assert normalize_url(once) == once
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=400), st.booleans())
+def test_find_date_total_on_arbitrary_text(body, original):
+    "The date ladder (incl. frequency scoring) is total over any text."
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    tree = load_html(f"<html><body><p>{body}</p></body></html>")
+    if tree is None:
+        return
+    result = find_date(tree, original_date=original, max_date="2030-12-31")
+    assert result is None or (len(result) == 10 and result[4] == "-")

@@ -146,6 +146,8 @@ def normalize_url(url: str) -> str:
     parameters keep their order), drop fragments except hashbang
     routing (#!...)."""
     parts = urlparse(url)
+    if not parts.scheme or not parts.netloc:
+        return url  # not an absolute URL: leave untouched (callers validate)
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
     if scheme == "http" and netloc.endswith(":80"):
