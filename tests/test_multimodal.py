@@ -79,3 +79,49 @@ def test_video_frame_sample_fanout(spark, media_df):
     # frames of the same video differ (per-frame decode), deterministically
     one = [r for r in rows if r.media_id == rows[0].media_id]
     assert len({tuple(r.frame_feature) for r in one}) == 3
+
+
+def _png(w, h):
+    import struct, zlib as z
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", z.crc32(chunk) & 0xFFFFFFFF))
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_dimensions_real_header_parse(spark):
+    """PNG/GIF dims come from JVM-side header arithmetic, JPEG from the
+    real stdlib SOF scan — no image library, no decode."""
+    from trafilatura_spark.operators.multimodal import image_dimensions, jpeg_dimensions
+
+    assert jpeg_dimensions(_jpeg(640, 480)) == (640, 480)
+    assert jpeg_dimensions(b"\xff\xd8\xff\xee garbage") is None
+    assert jpeg_dimensions(b"not a jpeg") is None
+
+    rows = [
+        (1, bytearray(_png(800, 600))),
+        (2, bytearray(_gif(320, 200))),
+        (3, bytearray(_jpeg(1024, 768))),
+        (4, bytearray(b"plain bytes, not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in image_dimensions(df).collect()}
+    assert (out[1].width, out[1].height, out[1].dim_source) == (800, 600, "jvm-header")
+    assert (out[2].width, out[2].height, out[2].dim_source) == (320, 200, "jvm-header")
+    assert (out[3].width, out[3].height, out[3].dim_source) == (1024, 768, "sof-scan")
+    assert out[4].width is None and out[4].dim_source is None
+    # png/gif rows must NOT pass through Python (only the jpeg branch does)
+    plan = image_dimensions(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1

@@ -209,3 +209,108 @@ def video_frame_sample(
             yield pd.DataFrame({"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_feature": feats})
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(frame_batch, schema=FRAME_SCHEMA)
+
+
+DIMENSIONS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("dim_source", StringType(), True),
+    ]
+)
+
+
+def _be32(bin_col, pos: int):
+    "Big-endian uint32 at 1-based byte offset, JVM-side."
+    return F.conv(F.hex(F.substring(bin_col, pos, 4)), 16, 10).cast("int")
+
+
+def _le16(bin_col, pos: int):
+    "Little-endian uint16 at 1-based byte offset, JVM-side (byte swap)."
+    return F.conv(
+        F.concat(F.hex(F.substring(bin_col, pos + 1, 1)), F.hex(F.substring(bin_col, pos, 1))),
+        16, 10,
+    ).cast("int")
+
+
+def jpeg_dimensions(payload: bytes):
+    """REAL JPEG dimension parse (no image library): walk the segment
+    stream to the first SOF0/1/2 frame header and read height/width
+    (big-endian at +5/+7 inside the segment).  Returns (w, h) or None —
+    never raises."""
+    try:
+        if not payload or payload[:2] != b"\xff\xd8":
+            return None
+        i, n = 2, len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (w, h) if w and h else None
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # parameterless markers
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return None
+            i += 2 + seglen
+        return None
+    except Exception:
+        return None
+
+
+def image_dimensions(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
+    """Width/height per image payload — real header parsing, no decode:
+
+    - PNG: IHDR width/height, big-endian at fixed offsets -> pure
+      JVM-side substring/hex/conv (whole-stage codegen, no Python).
+    - GIF: logical-screen dims, little-endian uint16 -> JVM-side.
+    - JPEG: variable segment offsets need a scan -> a REAL stdlib parser
+      (jpeg_dimensions) over Arrow batches, applied ONLY to jpeg rows.
+
+    At 100 TB the jpeg branch is the only Python crossing and it reads
+    just (id, payload) of jpeg-classified rows; png/gif never leave the
+    JVM.  dim_source records which path produced the numbers."""
+    base = attach_media_meta(df, id_col, bin_col)
+    b = F.col(bin_col)
+    png_gif = base.filter(F.col("format").isin("png", "gif")).select(
+        F.col(id_col),
+        "format",
+        F.when(F.col("format") == "png", _be32(b, 17)).otherwise(_le16(b, 7)).alias("width"),
+        F.when(F.col("format") == "png", _be32(b, 21)).otherwise(_le16(b, 9)).alias("height"),
+        F.lit("jvm-header").alias("dim_source"),
+    )
+
+    def jpeg_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            dims = [jpeg_dimensions(p) for p in pdf[bin_col]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "format": "jpeg",
+                    "width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] if d else None for d in dims], dtype="Int32"),
+                    "dim_source": "sof-scan",
+                }
+            )
+            yield out
+
+    jpeg = (
+        base.filter(F.col("format") == "jpeg")
+        .select(id_col, bin_col)
+        .mapInPandas(jpeg_batch, schema=DIMENSIONS_SCHEMA)
+    )
+    other = base.filter(~F.col("format").isin("png", "gif", "jpeg")).select(
+        F.col(id_col),
+        "format",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("dim_source"),
+    )
+    return png_gif.unionByName(jpeg).unionByName(other)
