@@ -488,3 +488,33 @@ def test_ivf_recall_on_clustered_data(spark):
     recall = len(true_pairs & got) / len(true_pairs)
     print(f"IVF recall@{k} (clustered): {recall:.3f}")
     assert recall >= 0.6
+
+
+def test_connected_components_chain_collapses_to_one_cluster(spark):
+    """Pairs a-b, b-c, c-d are ONE duplicate cluster (pairs alone would
+    over-delete); an unrelated pair forms its own; labels are the min id."""
+    from trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(20, 10), (10, 30), (30, 40), (7, 5)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 5: 5, 7: 5}
+
+
+def test_dedup_clusters_keeper_semantics(spark):
+    "One keeper per cluster; drop set = everything else in the component."
+    from trafilatura_spark.operators.dedup import dedup_clusters_df
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [
+        (1, base), (2, base + " extra"), (3, base + " extra word"),  # near-dups
+        (50, "completely different text about spark catalyst optimizer internals and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in dedup_clusters_df(df).collect()}
+    # docs 1-3 cluster together under min id 1; doc 50 pairs with nothing
+    assert rows[1].cluster_id == 1 and rows[1].is_keeper
+    assert rows[2].cluster_id == 1 and not rows[2].is_keeper
+    assert rows[3].cluster_id == 1 and not rows[3].is_keeper
+    assert 50 not in rows

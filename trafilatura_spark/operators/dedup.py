@@ -469,3 +469,105 @@ def simhash_pairs_sql(
     WHERE l.{id_col} < r.{id_col}
       AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
     """
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: every node is
+    labeled with the MINIMUM node id reachable from it — the duplicate-
+    CLUSTER step that turns near-dup pairs into groups (pairs alone
+    over-delete: a-b + b-c must collapse to ONE keeper, not two
+    independent drops).
+
+    Iterative min-label propagation: each round every node takes
+    min(own label, neighbors' labels); rounds needed = component
+    diameter, each round one shuffle join + one groupBy.  The driver
+    loop stops at the fixpoint (a bounded count() per round — an O(1)
+    scalar, not a collect of data).  Dedup components are tiny and
+    dense (near-identical docs all pair with each other), so diameter
+    is small; for adversarial long-chain graphs at 100 TB, swap the
+    propagation body for the large-star/small-star ops (Kiveris et al.)
+    which converge in O(log n) rounds on the same join shape."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from minhash-LSH pairs: (doc_id,
+    cluster_id, is_keeper) for every document that appears in any pair;
+    cluster_id = min doc id in the component, keeper = that document.
+    The drop set for corpus dedup is exactly the is_keeper=false rows."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    ).orderBy(id_col)
+
+
+def dedup_clusters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    "DuckDB twin: recursive transitive closure, min reachable id per node."
+    pairs = minhash_lsh_pairs_sql(table, id_col, text_col, n, num_hashes, bands)
+    return f"""
+    WITH RECURSIVE pairlist AS ({pairs}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairlist
+      UNION
+      SELECT id_b, id_a FROM pairlist
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS {id_col},
+           LEAST(src, MIN(dst)) AS cluster_id,
+           src = LEAST(src, MIN(dst)) AS is_keeper
+    FROM reach GROUP BY src ORDER BY {id_col}
+    """

@@ -621,6 +621,13 @@ def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: LSH pairs -> connected components ->
+    (doc_id, cluster_id, is_keeper).  The drop set for corpus dedup is
+    the is_keeper=false rows — pairs alone over-delete chains."""
+    return D.dedup_clusters_df(_t(spark, sf_dir, "documents"))
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -1042,6 +1049,7 @@ SPARK_QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1093,6 +1101,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh_prod": D.minhash_lsh_pairs_sql(
         num_hashes=D.PRODUCTION_NUM_HASHES, bands=D.PRODUCTION_BANDS
     ),
+    "dedup_clusters": D.dedup_clusters_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
