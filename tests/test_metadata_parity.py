@@ -437,10 +437,18 @@ def test_url_normalization_courlan_shape():
     )
     meta = extract_metadata(doc)
     assert meta.url == "http://news.example.org/story?page=2"
-    # an invalid fallback URL is nullified, not passed through (courlan
-    # validate_url semantics)
+    # the caller-supplied fallback passes through UNTOUCHED — only the
+    # ladder-won URL is validated/normalized (reference metadata.py:390-394
+    # `return url or default_url`); r4 deviated by nullifying it
     meta2 = extract_metadata("<html><body><p>x</p></body></html>", "not-a-url")
-    assert meta2.url is None
+    assert meta2.url == "not-a-url"
+    # and an INVALID ladder winner falls back rather than nullifying
+    meta3 = extract_metadata(
+        '<html><head><link rel="canonical" href="htp:/broken"/></head>'
+        "<body><p>x</p></body></html>",
+        "https://fallback.example.com/a",
+    )
+    assert meta3.url == "https://fallback.example.com/a"
 
 
 def test_find_date_slavic_turkish_month_names():

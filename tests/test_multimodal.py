@@ -109,6 +109,13 @@ def test_image_dimensions_real_header_parse(spark):
     assert jpeg_dimensions(_jpeg(640, 480)) == (640, 480)
     assert jpeg_dimensions(b"\xff\xd8\xff\xee garbage") is None
     assert jpeg_dimensions(b"not a jpeg") is None
+    # 0xFF fill bytes before a marker (JPEG B.1.1.2) are padding, not a
+    # segment — a padded-but-valid file must still parse
+    import struct
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 1) + b"\x01\x11\x00"
+    assert jpeg_dimensions(b"\xff\xd8" + b"\xff" * 5 + sof0 + b"\xff\xd9") == (640, 480)
+    # EOI before any SOF frame header ends the scan (no seglen misparse)
+    assert jpeg_dimensions(b"\xff\xd8\xff\xd9" + b"\x04\x00" + b"x" * 32) is None
 
     rows = [
         (1, bytearray(_png(800, 600))),

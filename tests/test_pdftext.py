@@ -355,6 +355,80 @@ def test_aes_fips197_known_answer_vectors():
         assert aes.decrypt_block(bytes.fromhex(ct)) == pt
 
 
+def _openssl_cbc_encrypt(key: bytes, iv: bytes, data: bytes):
+    """AES-CBC encrypt via the SYSTEM libcrypto (OpenSSL EVP), ctypes-bound
+    in the test itself — an implementation of AES genuinely independent of
+    kernel/aescipher.py.  Returns None when libcrypto is unavailable."""
+    import ctypes
+
+    lib = None
+    for name in ("libcrypto.so.3", "libcrypto.so.1.1", "libcrypto.so"):
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None or not hasattr(lib, "EVP_EncryptInit_ex"):
+        return None
+    lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+    lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+    cipher_fn = {16: lib.EVP_aes_128_cbc, 32: lib.EVP_aes_256_cbc}[len(key)]
+    cipher_fn.restype = ctypes.c_void_p
+    lib.EVP_EncryptInit_ex.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_char_p] * 2
+    lib.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.EVP_EncryptUpdate.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    ctx = lib.EVP_CIPHER_CTX_new()
+    assert ctx
+    try:
+        assert lib.EVP_EncryptInit_ex(ctx, cipher_fn(), None, key, iv) == 1
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        assert lib.EVP_EncryptUpdate(ctx, out, ctypes.byref(outl), data, len(data)) == 1
+        return out.raw[: outl.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+def test_hash_2b_pinned_against_independent_aes():
+    """Algorithm 2.B (ISO 32000-2) verified against an INDEPENDENT
+    re-implementation: hashlib SHA-2 plus OpenSSL's AES-CBC via ctypes,
+    written here from the spec text — the kernel's _hash_2b previously
+    had no cross-check other than itself (a spec deviation would have
+    passed the round-trip fixtures and only surfaced on real R6 PDFs)."""
+    import hashlib
+
+    import pytest
+
+    from trafilatura_spark.kernel.pdftext import _hash_2b
+
+    if _openssl_cbc_encrypt(bytes(16), bytes(16), bytes(16)) is None:
+        pytest.skip("system libcrypto unavailable")
+
+    def independent_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        digest = hashlib.sha256(pw + salt + udata).digest()
+        rounds = 0
+        while True:
+            block = (pw + digest + udata) * 64
+            enc = _openssl_cbc_encrypt(digest[:16], digest[16:32], block)
+            mod = sum(enc[:16]) % 3
+            digest = [hashlib.sha256, hashlib.sha384, hashlib.sha512][mod](enc).digest()
+            rounds += 1
+            if rounds >= 64 and enc[-1] <= rounds - 32:
+                return digest[:32]
+
+    for pw, salt, udata in (
+        (b"", b"VALSALT8", b""),
+        (b"", b"KEYSALT8", b""),
+        (b"secret", b"\x01\x02\x03\x04\x05\x06\x07\x08", b""),
+        (b"", b"\x00" * 8, b"U" * 48),
+    ):
+        assert _hash_2b(pw, salt, udata) == independent_2b(pw, salt, udata)
+
+
 def _aes_stream(okey: bytes, plaintext: bytes) -> bytes:
     "AESV2/V3 stream layout: IV prefix + CBC ciphertext + PKCS#7 pad."
     from trafilatura_spark.kernel.aescipher import cbc_encrypt

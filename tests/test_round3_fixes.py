@@ -121,6 +121,35 @@ def test_brotli_payload_decodes_end_to_end():
     assert res.text and "Long enough body text" in res.text
 
 
+def test_brotli_rejects_trailing_input():
+    """A payload whose PREFIX is a complete brotli stream must not be
+    replaced by its decode: the loader probes brotli on every
+    non-gzip/zstd payload (brotli has no magic bytes), and reference
+    `brotli.decompress` rejects excess input.  Seen in the wild:
+    b';var x = 1; ...' decodes as an EMPTY brotli stream + garbage,
+    silently destroying a JavaScript-prefixed document."""
+    import pytest
+
+    from trafilatura_spark.kernel.cdecompress import (
+        HAS_BROTLI, brotli_compress, brotli_decompress,
+    )
+
+    if not HAS_BROTLI:
+        pytest.skip("libbrotli absent")
+    with pytest.raises(ValueError):
+        brotli_decompress(b";var x = 1; window.alert('not brotli');")
+    frame = brotli_compress(b"payload")
+    with pytest.raises(ValueError):
+        brotli_decompress(frame + b"trailing-garbage")
+    # the exact frame still round-trips
+    assert brotli_decompress(frame) == b"payload"
+    # and a document that merely STARTS like a brotli stream survives
+    # the loader cascade unchanged
+    doc = b";var x = 1; " + FULL_PAGE.encode("utf-8")
+    res = bare_extract(doc, Options(min_extracted_size=0))
+    assert res.text and "Long enough body text" in res.text
+
+
 def test_zstd_magic_without_decoder_yields_labeled_discard(monkeypatch):
     "The labeled discard is the degradation path when libzstd is absent."
     from trafilatura_spark.kernel import cdecompress

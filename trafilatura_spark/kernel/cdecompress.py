@@ -188,6 +188,13 @@ def brotli_decompress(data: bytes, max_out: int = _MAX_OUT_DEFAULT) -> bytes:
                     raise ValueError("brotli output exceeds cap")
                 parts.append(bytes(out[:produced]))
             if res == _BROTLI_RESULT_SUCCESS:
+                # Reference `brotli.decompress` rejects trailing garbage; the
+                # loader probes brotli on EVERY non-gzip/zstd payload (no magic
+                # bytes), so accepting a stream that ends before the input does
+                # would silently replace a document whose prefix happens to be
+                # a complete brotli stream with its decode.
+                if avail_in.value != 0:
+                    raise ValueError("brotli stream ends before input does")
                 return b"".join(parts)
             if res == _BROTLI_RESULT_NEEDS_MORE_OUTPUT:
                 continue

@@ -304,12 +304,16 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             from .textutils import sanitize
 
             # standard-security (RC4/AES) with an empty user password
-            # decrypts transparently inside extract_pdf_text; anything
-            # it cannot open (real password, unknown handler) is
-            # labeled, never parsed as garbage
-            if is_encrypted(filecontent) and decryption_key(filecontent) is None:
-                return ExtractionResult(None, "pdf_encrypted", 0, 0)
-            pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent)) or "")
+            # decrypts transparently; anything this reader cannot open
+            # (real password, unknown handler) is labeled, never parsed
+            # as garbage.  The file key is derived ONCE here and passed
+            # down — /R 6 Algorithm 2.B costs thousands of AES block ops
+            crypt = None
+            if is_encrypted(filecontent):
+                crypt = decryption_key(filecontent)
+                if crypt is None:
+                    return ExtractionResult(None, "pdf_encrypted", 0, 0)
+            pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent, crypt)) or "")
             if not pdf_text or len(pdf_text) < options.min_output_size:
                 return ExtractionResult(None, "pdf_empty", 0, 0)
             return ExtractionResult(pdf_text, "pdf", len(pdf_text), 0)

@@ -520,14 +520,12 @@ def extract_url(tree: Element, default_url: Optional[str] = None) -> Optional[st
                 if parsed.netloc:
                     url = f"{parsed.scheme}://{parsed.netloc}" + url
                     break
-    if url and not _is_valid_url(url):
-        url = None
-    url = url or default_url
-    # the reference validates THEN normalizes whatever URL won the ladder
-    # (metadata.py:393-394, courlan validate_url + normalize_url)
+    # the reference validates THEN normalizes only the ladder-won URL
+    # (metadata.py:390-394); the caller-supplied fallback is returned
+    # untouched (metadata.py:394 `return url or default_url`)
     if url:
         url = normalize_url(url) if _is_valid_url(url) else None
-    return url
+    return url or default_url
 
 
 def extract_domain(url: str) -> Optional[str]:

@@ -608,19 +608,23 @@ def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
     return blocks
 
 
-def extract_pdf_text(payload: Union[bytes, str]) -> str:
+def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = None) -> str:
     """All recoverable text of a PDF, BT..ET blocks in document order,
     one line per line-positioning operator, blocks separated by
     newlines.  Standard-security files (RC4 or AES) with an empty user
     password are decrypted transparently; encryption this reader cannot
     open (real password, unknown handler) yields '' — callers check
-    decryption_key() alongside is_encrypted() to label those.  Never
-    raises on malformed input — returns ''."""
+    decryption_key() alongside is_encrypted() to label those.  Callers
+    that already derived the file key (bare_extract gates on
+    decryption_key() first) pass it as `crypt` — for /R 6 files the
+    Algorithm 2.B hash costs thousands of pure-Python AES block ops, so
+    re-deriving per document would double that.  Never raises on
+    malformed input — returns ''."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     lines: List[str] = []
     try:
-        key = None
-        if is_encrypted(data):
+        key = crypt
+        if key is None and is_encrypted(data):
             key = decryption_key(data)
             if key is None:
                 return ""

@@ -249,6 +249,11 @@ def jpeg_dimensions(payload: bytes):
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte: 0xFF padding before a marker (B.1.1.2)
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any SOF frame header
             if marker in (0xC0, 0xC1, 0xC2):
                 h = int.from_bytes(payload[i + 5 : i + 7], "big")
                 w = int.from_bytes(payload[i + 7 : i + 9], "big")
