@@ -502,6 +502,34 @@ def test_connected_components_chain_collapses_to_one_cluster(spark):
     assert out == {10: 10, 20: 10, 30: 10, 40: 10, 5: 5, 7: 5}
 
 
+def test_connected_components_long_chain_beyond_old_iteration_cap(spark):
+    """A 40-node chain (diameter 39, past the r4 one-hop-per-round cap of
+    25) must still collapse to ONE cluster — pointer jumping converges in
+    O(log diameter) rounds, so this needs ~8 of the 25 allowed."""
+    from trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert len(out) == 40 and set(out.values()) == {0}
+
+
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    """When the iteration budget genuinely cannot reach the fixpoint the
+    function must RAISE, never silently return multiple cluster ids for
+    one true component (the r4 failure mode)."""
+    import pytest
+
+    from trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+
+
 def test_dedup_clusters_keeper_semantics(spark):
     "One keeper per cluster; drop set = everything else in the component."
     from trafilatura_spark.operators.dedup import dedup_clusters_df

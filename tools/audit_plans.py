@@ -147,6 +147,14 @@ def main() -> int:
     p = plan_of(Q.ann_ivf_topk(spark, sf_dir))
     check("ann ivf centroids broadcast", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
     check("ann ivf no shuffled cartesian", "CartesianProduct" not in p)
+    # the index BUILD must be truly map-side: nearest-centroid assignment
+    # is an array_min projection over a broadcast centroid array, so the
+    # corpus is never exchanged by vector id (r4 finding: the row_number
+    # formulation forced two full-corpus hashpartitioning(vec_id) shuffles)
+    check(
+        "ann ivf build map-side (no vec_id exchange)",
+        not re.search(r"hashpartitioning\(vec_id", p),
+    )
 
     # Gopher quality filter: pure JVM projection — no Python stage, no
     # shuffle, scan pruned to (doc_id, text)

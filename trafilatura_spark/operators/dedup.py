@@ -483,31 +483,51 @@ def connected_components(
     over-delete: a-b + b-c must collapse to ONE keeper, not two
     independent drops).
 
-    Iterative min-label propagation: each round every node takes
-    min(own label, neighbors' labels); rounds needed = component
-    diameter, each round one shuffle join + one groupBy.  The driver
-    loop stops at the fixpoint (a bounded count() per round — an O(1)
-    scalar, not a collect of data).  Dedup components are tiny and
-    dense (near-identical docs all pair with each other), so diameter
-    is small; for adversarial long-chain graphs at 100 TB, swap the
-    propagation body for the large-star/small-star ops (Kiveris et al.)
-    which converge in O(log n) rounds on the same join shape."""
+    Iterative min-label propagation WITH pointer jumping: each round
+    every node takes min(own label, neighbors' labels), then shortcuts
+    its label to its label's label — the shortcut halves the remaining
+    chain depth, so convergence is O(log diameter) rounds instead of
+    O(diameter) (the r4 formulation moved one hop per round, and a
+    >25-node chain of near-dup pairs silently got multiple cluster ids
+    for one true cluster).  Each round is one shuffle join + one groupBy
+    + one label-table self-join (label tables are node-sized, not
+    edge-sized); the driver loop stops at the fixpoint via a bounded
+    count() per round — an O(1) scalar, not a collect of data.  If the
+    fixpoint is still not reached after ``max_iterations`` (with jumping
+    that needs diameter > 2^25) the function RAISES rather than return
+    wrong labels."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    # localCheckpoint each round: the jump self-join makes every round's
+    # plan contain TWO copies of the previous round's, so without lineage
+    # truncation the logical plan doubles per round and planning itself
+    # OOMs the driver.  (On a multi-executor cluster, swap for reliable
+    # .checkpoint() if executor loss during the few log(d) rounds matters.)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    changed = 0
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
         )
+        prop = labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        # pointer jumping: node -> label -> that label's own label.
+        # Every label is itself a node (labels are mins over node ids),
+        # so the left join hits; least() ignores a null jump anyway.
+        jump = prop.select(F.col("node").alias("label"), F.col("label").alias("jumped"))
         new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
+            prop.join(jump, "label", "left")
+            .select("node", F.least("label", "jumped").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -515,11 +535,15 @@ def connected_components(
             .filter(F.col("n.label") < F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still moving) — refusing to return wrong cluster ids"
+        )
     return labels
 
 

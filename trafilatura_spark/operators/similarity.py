@@ -270,21 +270,32 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def _assign_to_centroids(vecs: DataFrame, cents: DataFrame, id_out: str) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    argmin squared-L2 per vector (ties by centroid id).  This is the
-    map-side-only IVF build step — no shuffle of the vector table."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").alias(id_out),
-        F.col("cid"),
-        _l2sq(F.col("v"), F.col("cv")).alias("dist"),
+def _assign_to_centroids(
+    vecs: DataFrame, cents: DataFrame, id_out: str, keep_vec: str = None
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION: the (tiny)
+    centroid table collapses to one array<struct<cid,cv>> row, broadcast
+    to every vector, and the argmin squared-L2 (ties by lowest cid) is
+    `array_min` over per-centroid (dist, cid) structs — struct ordering
+    IS (asc dist, asc cid).  No window, no Exchange of the vector table:
+    the r4 plan audit found the previous row_number() formulation forced
+    two full-corpus hashpartitioning(vec_id) shuffles in the index build
+    despite a "map-side only" docstring.  ``keep_vec`` carries the vector
+    through under that name so callers never re-join the corpus by id
+    just to get the vector back."""
+    carr = cents.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("carr"))
+    best = F.array_min(
+        F.transform(
+            F.col("carr"),
+            lambda c: F.struct(
+                _l2sq(F.col("v"), c["cv"]).alias("dist"), c["cid"].alias("cid")
+            ),
+        )
     )
-    w = Window.partitionBy(id_out).orderBy(F.asc("dist"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_out, "cid")
-    )
+    cols = [F.col("vec_id").alias(id_out), best.getField("cid").alias("cid")]
+    if keep_vec:
+        cols.append(F.col("v").alias(keep_vec))
+    return vecs.crossJoin(F.broadcast(carr)).select(*cols)
 
 
 def ivf_topk(
@@ -319,18 +330,20 @@ def ivf_topk(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # one Lloyd step: assign to seeds, rebuild each centroid as the
-    # per-dimension mean of its members (posexplode -> avg -> re-collect)
-    a1 = _assign_to_centroids(vecs, seeds, "vec_id")
+    # per-dimension mean of its members (posexplode -> avg -> re-collect).
+    # The assignment carries v through, so the only exchange here is the
+    # partial-agged (cid, pos) mean — nlist*dim rows per task, never the
+    # corpus
+    a1 = _assign_to_centroids(vecs, seeds, "vec_id", keep_vec="v")
     cents = (
-        a1.join(vecs, "vec_id")
-        .select("cid", F.posexplode("v").alias("pos", "val"))
+        a1.select("cid", F.posexplode("v").alias("pos", "val"))
         .groupBy("cid", "pos")
         .agg(F.avg("val").alias("m"))
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"))
     )
-    inverted = _assign_to_centroids(vecs, cents, "neighbor_id")
+    inverted = _assign_to_centroids(vecs, cents, "neighbor_id", keep_vec="nv")
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -344,12 +357,12 @@ def ivf_topk(
         .select("query_id", "qv", "cid")
     )
     # candidates: only vectors whose cell was probed (cells are disjoint,
-    # so no cross-table dedup is needed)
-    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    # so no cross-table dedup is needed); the inverted list carries the
+    # vector, so this is the ONE corpus-touching join — keyed by cell id,
+    # a hot cell being an ordinary AQE-splittable partition
     scored = (
         probes.join(inverted, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
