@@ -433,13 +433,23 @@ def test_quality_repetition_rules(spark):
         "every token in this sentence appears exactly once because the "
         "writer varied wording deliberately across clauses and phrases"
     )
+    para = "this paragraph talks about completely original subject matter"
+    dup_paras = "\n\n".join([para, "another block entirely", para, para])
     df = spark.createDataFrame(
-        [(1, spam), (2, repeated), (3, normal)], ["doc_id", "text"]
+        [(1, spam), (2, repeated), (3, normal), (4, dup_paras)],
+        ["doc_id", "text"],
     )
     rows = {r.doc_id: r for r in quality_repetition(df).collect()}
     assert rows[1].rep_passes is False and rows[1].top2_char_frac > 0.2
     assert rows[2].rep_passes is False and rows[2].dup10_char_frac > 0.1
     assert rows[3].rep_passes is True and rows[3].dup5_char_frac == 0.0
+    # a once-occurring top n-gram is NOT repetition (otherwise every short
+    # document fails top4)
+    assert rows[3].top4_char_frac == 0.0
+    # duplicated paragraphs: 2 repeat occurrences of 4 paragraphs = 0.5
+    assert rows[4].rep_passes is False
+    assert rows[4].dup_para_frac == 0.5 and rows[4].dup_para_char_frac > 0.2
+    assert rows[4].dup_line_frac == 0.5  # same segments, single-line paras
 
 
 def test_ivf_recall_on_clustered_data(spark):

@@ -261,11 +261,18 @@ def quality_gopher_sql(table: str = "documents", id_col: str = "doc_id", text_co
     """
 
 
-# repetition thresholds published for MassiveWeb (Rae et al. 2021 §A1.1):
-# most-frequent-n-gram character fraction for short n, duplicated-n-gram
-# character fraction for long n
-REP_TOP_THRESHOLDS = {2: 0.20, 3: 0.18}
-REP_DUP_THRESHOLDS = {5: 0.15, 10: 0.10}
+# repetition thresholds published for MassiveWeb (Rae et al. 2021 §A1.1),
+# the COMPLETE table: most-frequent-n-gram character fraction for short n,
+# duplicated-n-gram character fraction for long n, and duplicate
+# line/paragraph fractions (by segment count and by character mass)
+REP_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+REP_SEG_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+}
 
 
 def _ngram_expr(toks, n: int):
@@ -279,66 +286,143 @@ def _ngram_expr(toks, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+REP_NGRAM_MODES = [(n, "top") for n in REP_TOP_THRESHOLDS] + [
+    (n, "dup") for n in REP_DUP_THRESHOLDS
+]
+
+
 def quality_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Gopher repetition signals: fraction of document characters covered
-    by the single most frequent 2-/3-gram and by ALL duplicated 5-/10-
-    grams, with the published pass thresholds.
+    """Gopher repetition signals, the COMPLETE published set (Rae et al.
+    2021 §A1.1): fraction of document characters covered by the single
+    most frequent {2,3,4}-gram and by ALL duplicated {5..10}-grams, plus
+    duplicate line / paragraph fractions by segment count and by
+    character mass (a segment occurrence beyond the first identical one
+    counts as a duplicate; segments are trimmed, empties dropped;
+    paragraphs split on blank lines).
 
     The other half of the Gopher rule set next to quality_gopher's
     word/line statistics — repetitive machine-generated or boilerplate
     text scores high here while length-based stats look normal.
-    Shape at 100 TB: per-n explode -> two-level partial aggregation,
-    all keyed by doc_id — shuffles carry (doc_id, ngram) pairs only and
-    map-side combine collapses each document's duplicates early."""
+    Shape at 100 TB: ONE explode emitting (n, gram) for all nine n's at
+    once -> count keyed (doc_id, n, gram) -> per-(doc_id, n) aggregate ->
+    pivot on the 9 known n's; plus one segment pass for lines/paragraphs.
+    Three doc_id-keyed shuffles total (vs 18 for per-n passes), each with
+    map-side partial aggregation collapsing duplicates early."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(
         F.col(id_col),
         toks.alias("toks"),
-        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1)).alias("n_chars"),
+        F.col(text_col).alias("_raw"),
     )
-    out = base.select(F.col(id_col), F.greatest("n_chars", F.lit(1)).alias("n_chars"))
+    ns = [n for n, _ in REP_NGRAM_MODES]
+
+    # closure factory, NOT a default-arg lambda: F.transform dispatches on
+    # lambda arity, so `lambda g, n=n: ...` would be called as (element,
+    # index) and the array index would silently overwrite n
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    all_grams = F.flatten(
+        F.array(*[F.transform(_ngram_expr(F.col("toks"), n), _tag(n)) for n in ns])
+    )
+    ex = base.select(F.col(id_col), F.explode(all_grams).alias("ng")).select(
+        F.col(id_col), F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
+    )
+    counts = ex.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    # min(struct(-cnt, g)) == highest count, ties to the smallest n-gram —
+    # the same ORDER BY cnt DESC, g ASC as the SQL twin
+    # a top n-gram that occurs ONCE is not repetition: without the cnt>1
+    # guard every short document fails top4 (a single 30-char 4-gram in a
+    # 120-char doc is 0.25 > 0.16) — the same guard the published Gopher
+    # reproductions apply
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g"))).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dupch"),
+    ).select(
+        F.col(id_col),
+        "n",
+        F.when(
+            F.col("n") <= max(REP_TOP_THRESHOLDS),
+            F.when(
+                -F.col("top.nc") > 1, (-F.col("top.nc")) * F.length("top.g")
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.col("dupch")).alias("chars"),
+    )
+    wide = per_n.groupBy(id_col).pivot("n", ns).agg(F.first("chars"))
+
+    # duplicate line / paragraph fractions: one explode with a kind tag
+    def _segs(pattern):
+        trimmed = F.transform(F.split(F.col("_raw"), pattern), lambda s: F.trim(s))
+        return F.filter(trimmed, lambda s: F.length(s) > 0)
+
+    seg_ex = base.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(
+                        _segs(r"\n"),
+                        lambda s: F.struct(F.lit("line").alias("kind"), s.alias("seg")),
+                    ),
+                    F.transform(
+                        _segs(r"\n{2,}"),
+                        lambda s: F.struct(F.lit("para").alias("kind"), s.alias("seg")),
+                    ),
+                )
+            )
+        ).alias("ks"),
+    ).select(F.col(id_col), F.col("ks.kind").alias("kind"), F.col("ks.seg").alias("seg"))
+    seg_counts = seg_ex.groupBy(id_col, "kind", "seg").agg(F.count(F.lit(1)).alias("cnt"))
+    seg_stats = seg_counts.groupBy(id_col, "kind").agg(
+        F.round(F.sum(F.col("cnt") - 1) / F.sum("cnt"), 6).alias("seg_frac"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * F.length("seg"))
+            / F.greatest(F.sum(F.col("cnt") * F.length("seg")), F.lit(1)),
+            6,
+        ).alias("seg_char_frac"),
+    )
+    seg_wide = seg_stats.groupBy(id_col).pivot("kind", ["line", "para"]).agg(
+        F.first("seg_frac").alias("frac"), F.first("seg_char_frac").alias("char_frac")
+    )
+
+    out = (
+        base.select(F.col(id_col), "n_chars")
+        .join(wide, id_col, "left")
+        .join(seg_wide, id_col, "left")
+    )
     metrics = []
-    for n, mode in [(2, "top"), (3, "top"), (5, "dup"), (10, "dup")]:
-        ex = base.select(
-            F.col(id_col), F.explode(_ngram_expr(F.col("toks"), n)).alias("g")
-        )
-        counts = ex.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
-        if mode == "top":
-            # min(struct(-cnt, g)) == highest count, ties to the smallest
-            # n-gram — the same ORDER BY cnt DESC, g ASC as the SQL twin
-            agg = counts.groupBy(id_col).agg(
-                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g"))).alias("top")
-            ).select(
-                F.col(id_col),
-                ((-F.col("top.nc")) * F.length("top.g")).alias(f"_chars_{n}"),
-            )
-        else:
-            agg = counts.groupBy(id_col).agg(
-                F.sum(
-                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
-                ).alias(f"_chars_{n}")
-            )
+    for n, mode in REP_NGRAM_MODES:
         name = f"{mode}{n}_char_frac"
         metrics.append(name)
-        out = out.join(agg, id_col, "left").withColumn(
-            name,
-            F.round(F.coalesce(F.col(f"_chars_{n}"), F.lit(0)) / F.col("n_chars"), 6),
-        ).drop(f"_chars_{n}")
+        out = out.withColumn(
+            name, F.round(F.coalesce(F.col(str(n)), F.lit(0)) / F.col("n_chars"), 6)
+        )
+    for col, src in [
+        ("dup_line_frac", "line_frac"),
+        ("dup_line_char_frac", "line_char_frac"),
+        ("dup_para_frac", "para_frac"),
+        ("dup_para_char_frac", "para_char_frac"),
+    ]:
+        metrics.append(col)
+        out = out.withColumn(col, F.coalesce(F.col(src), F.lit(0.0)))
     passes = None
     for n, thr in REP_TOP_THRESHOLDS.items():
         cond = F.col(f"top{n}_char_frac") <= thr
         passes = cond if passes is None else (passes & cond)
     for n, thr in REP_DUP_THRESHOLDS.items():
         passes = passes & (F.col(f"dup{n}_char_frac") <= thr)
-    return out.select(
-        F.col(id_col), *metrics, passes.alias("rep_passes")
-    )
+    for col, thr in REP_SEG_THRESHOLDS.items():
+        passes = passes & (F.col(col) <= thr)
+    return out.select(F.col(id_col), *metrics, passes.alias("rep_passes"))
 
 
 def quality_repetition_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     "DuckDB twin of quality_repetition (identical tokenization and ties)."
     parts = []
-    for n, mode in [(2, "top"), (3, "top"), (5, "dup"), (10, "dup")]:
+    for n, mode in REP_NGRAM_MODES:
         grams = (
             f"[array_to_string(toks[i:i+{n - 1}], ' ') "
             f"FOR i IN generate_series(1, len(toks) - {n} + 1)]"
@@ -351,7 +435,8 @@ def quality_repetition_sql(table: str = "documents", id_col: str = "doc_id", tex
         if mode == "top":
             parts.append(f"""
     m_{mode}{n} AS (
-      SELECT {id_col}, cnt * length(g) AS chars FROM (
+      -- cnt > 1 guard: a once-occurring top n-gram is not repetition
+      SELECT {id_col}, CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END AS chars FROM (
         SELECT {id_col}, g, cnt,
                ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY cnt DESC, g ASC) AS rn
         FROM ({counts})
@@ -363,27 +448,57 @@ def quality_repetition_sql(table: str = "documents", id_col: str = "doc_id", tex
       SELECT {id_col}, SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS chars
       FROM ({counts}) GROUP BY {id_col}
     )""")
-    conds = [f"top{n}_char_frac <= {t}" for n, t in REP_TOP_THRESHOLDS.items()] + [
-        f"dup{n}_char_frac <= {t}" for n, t in REP_DUP_THRESHOLDS.items()
-    ]
+    seg_parts = []
+    for kind, pattern in [("line", "\\n"), ("para", "\\n{2,}")]:
+        seg_parts.append(f"""
+    m_seg_{kind} AS (
+      SELECT {id_col},
+             ROUND(SUM(cnt - 1) * 1.0 / SUM(cnt), 6) AS dup_{kind}_frac,
+             ROUND(SUM((cnt - 1) * length(seg)) * 1.0
+                   / GREATEST(SUM(cnt * length(seg)), 1), 6) AS dup_{kind}_char_frac
+      FROM (
+        SELECT {id_col}, seg, COUNT(*) AS cnt FROM (
+          SELECT {id_col},
+                 unnest(list_filter(
+                   list_transform(regexp_split_to_array({text_col}, '{pattern}'),
+                                  s -> trim(s)),
+                   s -> length(s) > 0)) AS seg
+          FROM {table})
+        GROUP BY {id_col}, seg
+      ) GROUP BY {id_col}
+    )""")
+    ngram_cols = ",\n           ".join(
+        f"ROUND(COALESCE(m_{mode}{n}.chars, 0) * 1.0 / b.n_chars, 6) AS {mode}{n}_char_frac"
+        for n, mode in REP_NGRAM_MODES
+    )
+    seg_cols = ",\n           ".join(
+        f"COALESCE(m_seg_{kind}.dup_{kind}_frac, 0) AS dup_{kind}_frac,\n           "
+        f"COALESCE(m_seg_{kind}.dup_{kind}_char_frac, 0) AS dup_{kind}_char_frac"
+        for kind in ("line", "para")
+    )
+    ngram_joins = "\n    ".join(
+        f"LEFT JOIN m_{mode}{n} USING ({id_col})" for n, mode in REP_NGRAM_MODES
+    )
+    conds = (
+        [f"top{n}_char_frac <= {t}" for n, t in REP_TOP_THRESHOLDS.items()]
+        + [f"dup{n}_char_frac <= {t}" for n, t in REP_DUP_THRESHOLDS.items()]
+        + [f"{col} <= {t}" for col, t in REP_SEG_THRESHOLDS.items()]
+    )
     return f"""
     WITH base AS (
       SELECT {id_col},
              regexp_split_to_array(lower(trim({text_col})), '\\s+') AS toks,
              GREATEST(length(trim({text_col})), 1) AS n_chars
       FROM {table}
-    ),{",".join(parts)}
+    ),{",".join(parts)},{",".join(seg_parts)}
     SELECT b.{id_col},
-           ROUND(COALESCE(m_top2.chars, 0) * 1.0 / b.n_chars, 6) AS top2_char_frac,
-           ROUND(COALESCE(m_top3.chars, 0) * 1.0 / b.n_chars, 6) AS top3_char_frac,
-           ROUND(COALESCE(m_dup5.chars, 0) * 1.0 / b.n_chars, 6) AS dup5_char_frac,
-           ROUND(COALESCE(m_dup10.chars, 0) * 1.0 / b.n_chars, 6) AS dup10_char_frac,
+           {ngram_cols},
+           {seg_cols},
            ({" AND ".join(conds)}) AS rep_passes
     FROM base b
-    LEFT JOIN m_top2 USING ({id_col})
-    LEFT JOIN m_top3 USING ({id_col})
-    LEFT JOIN m_dup5 USING ({id_col})
-    LEFT JOIN m_dup10 USING ({id_col})
+    {ngram_joins}
+    LEFT JOIN m_seg_line USING ({id_col})
+    LEFT JOIN m_seg_para USING ({id_col})
     """
 
 
