@@ -111,3 +111,32 @@ def test_lang_strict_option_gates_extraction():
 def test_ngram_margin_exposed():
     best, second, dist, margin = classify_ngram(LABELED_SAMPLES["el"])
     assert best == "el" and 0 <= dist <= 1 and margin > 0 and second != "el"
+
+
+def test_langid_fixture_parquet_pins_classifier_outputs():
+    """The committed fixture parquet (tools/gen_langid_fixture.py) must
+    reproduce the LIVE classifier byte-for-byte — this is the value
+    oracle behind text_lang_id_ngram.  A mismatch means the classifier
+    changed without regenerating the fixture (intentional changes rerun
+    the tool; unintentional ones are regressions)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trafilatura_spark.kernel.langid import classify_language
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "langid_expected.parquet")
+    table = pq.read_table(path)
+    pinned = dict(zip(table.column("text_md5").to_pylist(),
+                      table.column("pred_lang").to_pylist()))
+    assert len(pinned) > 500
+
+    import pyarrow.dataset as ds
+    docs = ds.dataset("/root/testdata/sf0.001/documents.parquet").to_table(
+        columns=["text"]).column("text").to_pylist()
+    assert len(docs) > 0
+    for text in docs:
+        key = hashlib.md5(text.encode("utf-8")).hexdigest()
+        assert key in pinned, "fixture must cover every sf0.001 text"
+        assert classify_language(text) == pinned[key]

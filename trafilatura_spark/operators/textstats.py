@@ -128,8 +128,10 @@ def lang_id_ngram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Arrow-batched mapInPandas column.  Complements the JVM-side 17-language
     `lang_id` (which stays the cheap whole-table sweep with an exact
     DuckDB twin); this variant is the full-coverage path, used when the
-    corpus is broader than the marker-word vocabulary.  Rows-only oracle:
-    the rank-profile arithmetic has no SQL twin."""
+    corpus is broader than the marker-word vocabulary.  Oracle: the rank
+    arithmetic has no SQL twin, so the DuckDB side joins the pinned
+    fixture parquet (tools/gen_langid_fixture.py) — a value match proves
+    the live run reproduces the generation-time labels exactly."""
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 

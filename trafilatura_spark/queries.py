@@ -654,10 +654,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-coverage (~53-language) char-n-gram lang ID via Arrow batches
-    (rows-only oracle: the Cavnar-Trenkle rank arithmetic has no SQL
-    twin; the JVM-side 17-language text_lang_id remains the
-    value-matched sweep)."""
+    """Full-coverage (~60-language) char-n-gram lang ID via Arrow batches.
+    Value oracle: the pinned fixture parquet generated by
+    tools/gen_langid_fixture.py (the Cavnar-Trenkle rank arithmetic has
+    no SQL twin, so the DuckDB side replays the labels pinned at
+    generation time, keyed by md5(text)); the JVM-side 17-language
+    text_lang_id remains the exact-SQL-twin sweep."""
     out = T.lang_id_ngram(_t(spark, sf_dir, "documents"))
     return out.orderBy("doc_id")
 
@@ -1108,6 +1110,19 @@ ORACLE_SQL = {
     "dedup_simhash_pairs": D.simhash_pairs_sql(),
     "text_token_stats": T.token_stats_sql(),
     "text_lang_id": T.lang_id_sql(),
+    # 60-language classifier: the oracle is the PINNED fixture parquet
+    # (labels computed by the classifier at generation time, keyed by
+    # md5(text) so it works at any sf) — a hash match proves the live
+    # Arrow-batched run still reproduces the pinned labels exactly.
+    # Regenerate with tools/gen_langid_fixture.py only on intentional
+    # classifier changes; real-page accuracy is bounded separately
+    # (tools/langid_agreement.py, COVERAGE.md).
+    "text_lang_id_ngram": """
+    SELECT d.doc_id, f.pred_lang
+    FROM documents d
+    JOIN read_parquet('/root/repo/tests/fixtures/langid_expected.parquet') f
+      ON md5(d.text) = f.text_md5
+    """,
     "doc_fingerprint": T.fingerprint_sql(),
     "ann_cosine_topk": S.cosine_topk_sql(),
     "ann_lsh_topk": S.lsh_topk_sql(),
