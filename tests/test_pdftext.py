@@ -566,3 +566,112 @@ def test_rc4_encrypted_cid_pdf_decrypts_tounicode_stream():
         + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
     )
     assert extract_pdf_text(pdf) == "He"
+
+
+# --- round-5: Tm line semantics, CID-without-ToUnicode tier, multi-column ----
+
+def _wrap_stream(content: bytes, extra_objs: bytes = b"") -> bytes:
+    return (
+        b"%PDF-1.4\n" + extra_objs
+        + b"9 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_tm_vertical_move_breaks_lines():
+    """Pages that position every line with an absolute text matrix (a b c
+    d e f Tm) and never use Td/TD/T* must still come out as lines: a Tm
+    vertical move is a line break (ISO 32000 9.4.2 — Tm RESETS the line
+    matrix; previously such pages ran together on one line)."""
+    content = (
+        b"BT /F1 10 Tf "
+        b"1 0 0 1 72 700 Tm (First positioned line.) Tj "
+        b"1 0 0 1 72 688 Tm (Second positioned line.) Tj "
+        b"1 0 0 1 72 676 Tm (Third positioned line.) Tj "
+        b"ET"
+    )
+    text = extract_pdf_text(_wrap_stream(content))
+    assert text.splitlines() == [
+        "First positioned line.",
+        "Second positioned line.",
+        "Third positioned line.",
+    ]
+
+
+def test_tm_horizontal_move_same_baseline_no_break():
+    "A pure horizontal Tm move on the same baseline is NOT a line break."
+    content = (
+        b"BT /F1 10 Tf "
+        b"1 0 0 1 72 700 Tm (Left) Tj "
+        b"1 0 0 1 90 700 Tm (Right) Tj "
+        b"ET"
+    )
+    text = extract_pdf_text(_wrap_stream(content))
+    assert "\n" not in text and "LeftRight" in text.replace(" ", "")
+
+
+def test_identity_h_without_tounicode_labeled_not_garbage():
+    """Identity-H composite fonts with NO ToUnicode map: the 2-byte CIDs
+    have no text mapping, so the document must be labeled
+    tier='pdf_no_text_map' — never decoded byte-per-glyph into garbage,
+    never silently 'pdf_empty' (a corpus owner needs to count these)."""
+    font = (
+        b"5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Noto"
+        b" /Encoding /Identity-H >> endobj\n"
+        b"6 0 obj << /Font << /CID 5 0 R >> >> endobj\n"
+    )
+    content = b"BT /CID 12 Tf <00480065006C006C006F> Tj ET"
+    pdf = _wrap_stream(content, font)
+    from trafilatura_spark.kernel.pdftext import extract_pdf_info
+
+    info = extract_pdf_info(pdf)
+    assert info.text == "" and info.unmapped_cid
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.text is None and res.tier == "pdf_no_text_map"
+
+
+def test_identity_h_with_tounicode_still_decodes():
+    "The new-tier logic must not touch mapped CID fonts: they decode."
+    pdf = _wrap_stream(
+        b"BT /F9 12 Tf <00010002> Tj ET",
+        b"2 0 obj << /Length 99 >>\nstream\n"
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"beginbfchar <0001> <0048> <0002> <0069> endbfchar\nendstream\nendobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+        b" /ToUnicode 2 0 R >> endobj\n"
+        b"6 0 obj << /Font << /F9 5 0 R >> >> endobj\n",
+    )
+    assert "Hi" in extract_pdf_text(pdf)
+    assert bare_extract(pdf, Options(min_extracted_size=0, min_output_size=1)).tier == "pdf"
+
+
+def test_two_column_row_major_page_labeled():
+    """A page rendered ROW-MAJOR across two columns (left cell, right
+    cell, next row...) interleaves the columns in stream order — the
+    document is labeled tier='pdf_multi_column' so corpus owners can
+    count pages needing layout reconstruction.  Text is still emitted."""
+    rows = []
+    y = 700
+    for i in range(5):
+        rows.append(b"1 0 0 1 72 %d Tm (left column row %d words here) Tj " % (y, i))
+        rows.append(b"1 0 0 1 330 %d Tm (right column row %d words too) Tj " % (y, i))
+        y -= 14
+    content = b"BT /F1 10 Tf " + b"".join(rows) + b"ET"
+    pdf = _wrap_stream(content)
+    from trafilatura_spark.kernel.pdftext import extract_pdf_info
+
+    info = extract_pdf_info(pdf)
+    assert info.multi_column
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.tier == "pdf_multi_column" and "left column row 0" in res.text
+
+
+def test_single_column_tm_page_not_flagged():
+    "An ordinary one-column Tm-positioned page stays tier='pdf'."
+    lines = b"".join(
+        b"1 0 0 1 72 %d Tm (a normal single column body line %d) Tj " % (700 - 14 * i, i)
+        for i in range(8)
+    )
+    pdf = _wrap_stream(b"BT /F1 10 Tf " + lines + b"ET")
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.tier == "pdf" and len(res.text.splitlines()) == 8

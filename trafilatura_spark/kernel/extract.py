@@ -300,7 +300,7 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
         from .pdftext import is_pdf
 
         if is_pdf(filecontent):
-            from .pdftext import decryption_key, extract_pdf_text, is_encrypted
+            from .pdftext import decryption_key, extract_pdf_info, is_encrypted
             from .textutils import sanitize
 
             # standard-security (RC4/AES) with an empty user password
@@ -313,10 +313,19 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
                 crypt = decryption_key(filecontent)
                 if crypt is None:
                     return ExtractionResult(None, "pdf_encrypted", 0, 0)
-            pdf_text = normalize_unicode(sanitize(extract_pdf_text(filecontent, crypt)) or "")
+            info = extract_pdf_info(filecontent, crypt)
+            pdf_text = normalize_unicode(sanitize(info.text) or "")
             if not pdf_text or len(pdf_text) < options.min_output_size:
-                return ExtractionResult(None, "pdf_empty", 0, 0)
-            return ExtractionResult(pdf_text, "pdf", len(pdf_text), 0)
+                # distinguish WHY there is no text: CID fonts without a
+                # ToUnicode map are countable corpus inventory, not
+                # generic emptiness
+                tier = "pdf_no_text_map" if info.unmapped_cid else "pdf_empty"
+                return ExtractionResult(None, tier, 0, 0)
+            # text extracted in stream order would interleave columns on
+            # row-major multi-column pages — labeled so a corpus owner can
+            # count documents needing layout reconstruction
+            tier = "pdf_multi_column" if info.multi_column else "pdf"
+            return ExtractionResult(pdf_text, tier, len(pdf_text), 0)
 
         tree = load_html(filecontent)
         if tree is None:

@@ -15,6 +15,9 @@ BT..ET:
   (string) ' / "           next-line + show
   [(a) -120 (b)] TJ        show array with kerning
   Td / TD / T*             line-positioning operators -> line breaks
+  a b c d e f Tm           text matrix: vertical move -> line break;
+                           repeated column-gap x-jumps at constant y
+                           -> multi-column interleave flag
   /F1 12 Tf                font selection (drives CMap decoding)
 
 Simple fonts decode byte-per-glyph (PDFDocEncoding is latin-1-compatible
@@ -23,8 +26,9 @@ their /ToUnicode CMap when present (beginbfchar / beginbfrange, the
 self-contained public CMap subset): the object graph is scanned for
 Resources /Font name -> font object -> ToUnicode stream, and shown bytes
 are mapped in codespacerange-sized units to UTF-16BE targets.  Composite
-fonts WITHOUT a ToUnicode map still yield no text (declared gap: full
-predefined-CMap tables are out of scope).  Encrypted PDFs: the standard
+fonts WITHOUT a ToUnicode map yield no text (full predefined-CMap tables
+are out of scope) and the document is labeled tier='pdf_no_text_map' so
+a corpus owner can count them.  Encrypted PDFs: the standard
 security handler is implemented for the EMPTY user password — the
 common permissions-only encryption — across RC4 (/V 1-2, ISO 32000-1
 §7.6.3), AES-128 AESV2 (/V 4) and AES-256 AESV3 (/V 5, /R 5-6 incl.
@@ -42,7 +46,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Dict, Iterator, List, Optional, Tuple, Union
+from typing import Dict, Iterator, List, NamedTuple, Optional, Tuple, Union
 
 PDF_MAGIC = b"%PDF-"
 
@@ -474,6 +478,32 @@ def _inflate(raw: bytes) -> bytes:
         return raw  # uncompressed content stream
 
 
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+
+
+def _composite_nomap_fonts(data: bytes) -> frozenset:
+    """Resource names of composite (Type0 / Identity-H) fonts that have NO
+    /ToUnicode CMap.  Their show strings carry CIDs with no text mapping
+    this reader can resolve (predefined CMap tables are out of scope), so
+    the interpreter suppresses them — decoding 2-byte CIDs byte-per-glyph
+    would emit garbage — and callers label the document
+    tier='pdf_no_text_map' when that is why no text came out."""
+    objs: Dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(3)
+    names = set()
+    for fd in _FONT_DICT_RE.finditer(data):
+        for ref in _FONT_REF_RE.finditer(fd.group(1)):
+            body = objs.get(int(ref.group(2)))
+            if body is None:
+                continue
+            composite = _TYPE0_RE.search(body) or _IDENTITY_RE.search(body)
+            if composite and not _TOUNICODE_RE.search(body):
+                names.add(ref.group(1).decode("latin-1"))
+    return frozenset(names)
+
+
 def _font_cmaps(data: bytes, key: Optional["PdfCrypt"] = None) -> Dict[str, CMap]:
     """Resource font name -> ToUnicode CMap, from the object graph:
     /Font << /F1 N 0 R >> dicts name fonts, font objects reference their
@@ -536,13 +566,35 @@ def _decode_shown(raw: bytes, cmap: Optional[CMap]) -> str:
     return "".join(out)
 
 
-def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
-    "Interpret one content stream: text of each BT..ET block, in order."
+# multi-column interleave heuristic: repeated LARGE horizontal Tm jumps at
+# nearly the same vertical position mean the stream renders text row-major
+# across columns — extraction in stream order would interleave the columns,
+# so the document needs layout reconstruction this reader does not do
+_COL_X_JUMP = 100.0   # points; ~a column gap, far beyond kerning moves
+_COL_SMALL_DY = 20.0  # within ~a line height
+_COL_SUSPECT_JUMPS = 4
+
+
+def _content_block_texts(
+    content: bytes, fonts: Dict[str, CMap], nomap: frozenset = frozenset()
+) -> Tuple[List[str], bool, int]:
+    """Interpret one content stream: text of each BT..ET block, in order.
+
+    Returns (blocks, unmapped_cid_shown, column_jumps):
+    ``unmapped_cid_shown`` — a show operator fired on a composite font
+    with no ToUnicode map (its CIDs are suppressed, never garbage);
+    ``column_jumps`` — count of large-x/small-y Tm moves feeding the
+    multi-column interleave heuristic above."""
     blocks: List[str] = []
     parts: Optional[List[str]] = None
     operands: List[Tuple[str, object]] = []
     arr: Optional[List[Tuple[str, object]]] = None
     cur_map: Optional[CMap] = None
+    cur_nomap = False
+    unmapped_shown = False
+    col_jumps = 0
+    last_e: Optional[float] = None
+    last_f: Optional[float] = None
 
     def last_string() -> Optional[bytes]:
         for kind, val in reversed(operands):
@@ -553,6 +605,16 @@ def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
     def newline() -> None:
         if parts and parts[-1] != "\n":
             parts.append("\n")
+
+    def show(s: Optional[bytes]) -> None:
+        nonlocal unmapped_shown
+        if s is None:
+            return
+        if cur_nomap:
+            if s:
+                unmapped_shown = True  # CIDs with no text mapping: suppress
+            return
+        parts.append(_decode_shown(s, cur_map))
 
     for kind, val in _tokens(content):
         if kind != "op":
@@ -579,38 +641,80 @@ def _content_block_texts(content: bytes, fonts: Dict[str, CMap]) -> List[str]:
             for k, v in reversed(operands):
                 if k == "name":
                     cur_map = fonts.get(v)  # type: ignore[arg-type]
+                    cur_nomap = v in nomap
                     break
+        elif op == b"Tm":
+            # text matrix: a b c d e f Tm — e/f are the translation.
+            # A vertical move is a line break (the reference renderers
+            # treat Tm-positioned lines as lines; previously only
+            # Td/TD/T*/'/" broke lines, so Tm-positioned pages ran
+            # together on one line)
+            nums = [float(v) for k, v in operands if k == "num"][-6:]
+            if len(nums) == 6:
+                e, f = nums[4], nums[5]
+                if parts is not None and last_f is not None and f != last_f:
+                    newline()
+                elif (
+                    parts
+                    and last_e is not None
+                    and abs(e - last_e) > _COL_X_JUMP
+                    and parts[-1] != "\n"
+                    and not parts[-1].endswith(" ")
+                ):
+                    # same baseline, far-away x: a separate text region —
+                    # keep words from gluing together
+                    parts.append(" ")
+                if (
+                    last_e is not None
+                    and last_f is not None
+                    and abs(e - last_e) > _COL_X_JUMP
+                    and abs(f - last_f) < _COL_SMALL_DY
+                ):
+                    col_jumps += 1
+                last_e, last_f = e, f
         elif parts is not None:
             if op == b"Tj":
-                s = last_string()
-                if s is not None:
-                    parts.append(_decode_shown(s, cur_map))
+                show(last_string())
             elif op in (b"'", b'"'):
                 s = last_string()
                 if s is not None:
                     newline()
-                    parts.append(_decode_shown(s, cur_map))
+                    show(s)
             elif op == b"TJ":
                 for k, v in reversed(operands):
                     if k == "arr":
-                        parts.append(
-                            "".join(
-                                _decode_shown(ev, cur_map)  # type: ignore[arg-type]
-                                for ek, ev in v  # type: ignore[union-attr]
-                                if ek in ("str", "hex")
+                        if cur_nomap:
+                            if any(ek in ("str", "hex") and ev for ek, ev in v):
+                                unmapped_shown = True
+                        else:
+                            parts.append(
+                                "".join(
+                                    _decode_shown(ev, cur_map)  # type: ignore[arg-type]
+                                    for ek, ev in v  # type: ignore[union-attr]
+                                    if ek in ("str", "hex")
+                                )
                             )
-                        )
                         break
             elif op in (b"Td", b"TD", b"T*"):
                 newline()
         operands = []
         arr = None
-    return blocks
+    return blocks, unmapped_shown, col_jumps
 
 
-def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = None) -> str:
-    """All recoverable text of a PDF, BT..ET blocks in document order,
-    one line per line-positioning operator, blocks separated by
+class PdfTextInfo(NamedTuple):
+    text: str
+    unmapped_cid: bool  # a composite font without ToUnicode was SHOWN
+    multi_column: bool  # interleave heuristic fired (layout reconstruction needed)
+
+
+def extract_pdf_info(
+    payload: Union[bytes, str], crypt: Optional[PdfCrypt] = None
+) -> PdfTextInfo:
+    """All recoverable text of a PDF plus layout diagnostics.
+
+    Text: BT..ET blocks in document order, one line per line-positioning
+    operator (Td/TD/T*/'/" and Tm vertical moves), blocks separated by
     newlines.  Standard-security files (RC4 or AES) with an empty user
     password are decrypted transparently; encryption this reader cannot
     open (real password, unknown handler) yields '' — callers check
@@ -618,17 +722,28 @@ def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = Non
     that already derived the file key (bare_extract gates on
     decryption_key() first) pass it as `crypt` — for /R 6 files the
     Algorithm 2.B hash costs thousands of pure-Python AES block ops, so
-    re-deriving per document would double that.  Never raises on
-    malformed input — returns ''."""
+    re-deriving per document would double that.
+
+    Diagnostics: ``unmapped_cid`` is True when text was SHOWN through a
+    composite font that has no ToUnicode map (those CIDs are suppressed,
+    never emitted as garbage — callers label tier='pdf_no_text_map' when
+    this is why the text came out empty); ``multi_column`` is True when
+    the Tm stream exhibits repeated column-gap-sized horizontal jumps at
+    near-constant y (row-major rendering across columns: stream-order
+    text would interleave the columns — callers label
+    tier='pdf_multi_column').  Never raises on malformed input."""
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     lines: List[str] = []
+    unmapped = False
+    col_jumps = 0
     try:
         key = crypt
         if key is None and is_encrypted(data):
             key = decryption_key(data)
             if key is None:
-                return ""
+                return PdfTextInfo("", False, False)
         fonts = _font_cmaps(data, key)
+        nomap = _composite_nomap_fonts(data)
         if key is None:
             # unencrypted: whole-file stream scan (also catches streams of
             # truncated objects with no closing endobj)
@@ -644,9 +759,21 @@ def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = Non
             content = _inflate(raw)
             if b"BT" not in content:
                 continue
-            for text in _content_block_texts(content, fonts):
+            texts, stream_unmapped, stream_jumps = _content_block_texts(
+                content, fonts, nomap
+            )
+            unmapped = unmapped or stream_unmapped
+            col_jumps += stream_jumps
+            for text in texts:
                 if text.strip():
                     lines.append(text.strip())
     except Exception:
-        return ""
-    return "\n".join(lines)
+        return PdfTextInfo("", False, False)
+    return PdfTextInfo(
+        "\n".join(lines), unmapped, col_jumps >= _COL_SUSPECT_JUMPS
+    )
+
+
+def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = None) -> str:
+    "Text-only face of extract_pdf_info (see its docstring)."
+    return extract_pdf_info(payload, crypt).text
