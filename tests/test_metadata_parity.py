@@ -468,3 +468,47 @@ def test_find_date_slavic_turkish_month_names():
     for frag, expected in cases.items():
         tree = load_html(f"<html><body>{frag}</body></html>")
         assert find_date(tree) == expected, frag
+
+
+def test_find_date_jsonld_rung():
+    """JSON-LD datePublished outranks <time> elements and modified stamps
+    (round-5: the eval-corpus agreement study's top systematic miss was
+    the ladder falling through to dateModified/sidebar <time> elements
+    when the published meta was absent — htmldate's json_search covers
+    this; see tools/date_agreement.py and COVERAGE.md)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"@type":"Article","datePublished":"2017-08-09T10:59:19+02:00",'
+        '"dateModified":"2018-07-20T22:06:21+02:00"}</script>'
+        "</head><body>"
+        '<time datetime="2018-07-20 22:06:21">updated</time>'
+        "<p>body</p></body></html>"
+    )
+    assert find_date(doc) == "2017-08-09"
+    # updated-date mode prefers the later modified stamp (htmldate's
+    # original_date=False semantics)
+    assert find_date(doc, original_date=False) == "2018-07-20"
+
+    # dateModified alone feeds the WEAK modified rung: an explicit date
+    # element still wins over it
+    doc2 = load_html(
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"@type":"Article","dateModified":"2020-01-05"}</script>'
+        "</head><body>"
+        '<time datetime="2019-03-02">published</time>'
+        "<p>body</p></body></html>"
+    )
+    assert find_date(doc2) == "2019-03-02"
+    # ...but is found when nothing stronger exists
+    doc3 = load_html(
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"@type":"Article","dateModified":"2020-01-05"}</script>'
+        "</head><body><p>no other date signal</p></body></html>"
+    )
+    assert find_date(doc3) == "2020-01-05"

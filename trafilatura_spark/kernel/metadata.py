@@ -666,6 +666,12 @@ _DATE_MODIFIED_META_NAMES = {
     "og:updated_time", "revised", "updated_time",
 }
 _ISO_DATE_RE = re.compile(r"(\d{4})[-/](\d{1,2})[-/](\d{1,2})")
+# schema.org structured-data stamps, matched by regex like htmldate's
+# json_search (tolerates malformed JSON around the field)
+_JSONLD_PUBLISHED_RE = re.compile(
+    r'"(?:datePublished|dateCreated|uploadDate)"\s*:\s*"([^"]{4,40})"'
+)
+_JSONLD_MODIFIED_RE = re.compile(r'"dateModified"\s*:\s*"([^"]{4,40})"')
 _COMPACT_DATE_RE = re.compile(r"\b(\d{4})(\d{2})(\d{2})\b")
 _DMY_DOT_RE = re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
 _MDY_SLASH_RE = re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
@@ -869,9 +875,11 @@ def find_date(
 ) -> Optional[str]:
     """Publication-date ladder standing in for htmldate (the reference
     delegates at metadata.py:523-525 with original_date=True): published
-    meta names -> <time>/date-attributed elements -> date-classed element
-    text -> URL patterns -> modified meta names -> free-text scan ->
-    copyright year.
+    meta names -> JSON-LD datePublished -> <time>/date-attributed
+    elements -> date-classed element text -> URL patterns -> modified
+    meta names -> free-text scan -> copyright year.  Real-page agreement
+    vs held-out article:published_time metas + URL dates: see
+    tools/date_agreement.py and COVERAGE.md.
 
     ``original_date`` mirrors htmldate's parameter: True (the reference's
     setting) prefers the first-published date; False prefers the update —
@@ -904,6 +912,34 @@ def find_date(
                 return result
         elif attrtype in _DATE_MODIFIED_META_NAMES and modified_candidate is None:
             modified_candidate = _normalize_date(content, min_date, max_date)
+    # 1.5 JSON-LD datePublished/dateCreated (htmldate scans structured
+    # data right after the metas via regex, json_search): without this
+    # rung a page whose published meta is absent but whose schema.org
+    # block names datePublished falls through to <time> elements — which
+    # on real pages are often the MODIFIED stamp or sidebar/related-post
+    # dates (the top systematic miss in the eval-corpus agreement study,
+    # tools/date_agreement.py)
+    jsonld_mod = None
+    for script in tree.iterdescendants("script"):
+        text = script.text or ""
+        if '"date' not in text:
+            continue
+        for m in _JSONLD_PUBLISHED_RE.finditer(text):
+            result = _normalize_date(m.group(1), min_date, max_date)
+            if result:
+                if not original_date:
+                    for m2 in _JSONLD_MODIFIED_RE.finditer(text):
+                        mod = _normalize_date(m2.group(1), min_date, max_date)
+                        if mod and mod > result:
+                            result = mod
+                return result
+        if jsonld_mod is None:
+            for m2 in _JSONLD_MODIFIED_RE.finditer(text):
+                jsonld_mod = _normalize_date(m2.group(1), min_date, max_date)
+                if jsonld_mod:
+                    break
+    if modified_candidate is None:
+        modified_candidate = jsonld_mod
     # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
     for time_el in tree.iterdescendants("time"):
         for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
