@@ -196,6 +196,50 @@ def hardware_throughput(n_procs: int, rounds: int = 2) -> float:
     return best
 
 
+def _stream(q) -> None:
+    """STREAM-style copy kernel: 64 MB src/dst buffers (far beyond LLC)
+    so the loop is memory-bandwidth-bound, not cache- or CPU-bound."""
+    import numpy as np
+
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages before timing
+    t0 = time.monotonic()
+    n = 0
+    while True:
+        np.copyto(b, a)
+        n += 1
+        dt = time.monotonic() - t0
+        if dt >= 4.0:
+            break
+    q.put(n * a.nbytes * 2 / dt)  # bytes read + written per second
+
+
+def bandwidth_throughput(n_procs: int) -> float:
+    """Memory-bandwidth control (round-4 VERDICT item 1): aggregate
+    STREAM-style copy bandwidth (GB/s, read+write) of ``n_procs``
+    processes pinned to CPUs 0..n-1.  The CPU spin probe is blind to
+    co-tenant MEMORY traffic — a round-4 window read job efficiency
+    0.719 under a HEALTHY CPU control, attributable only by inference;
+    this probe measures that contention mode directly.  Absolute values
+    compare across windows (clean-host numbers recorded in BASELINE.md);
+    within a scaling section the probe runs before and after the legs
+    and the spread feeds the audited retry rule."""
+    orig = os.sched_getaffinity(0)
+    try:
+        os.sched_setaffinity(0, set(range(n_procs)))
+        q: mp.Queue = mp.Queue()
+        procs = [mp.Process(target=_stream, args=(q,)) for _ in range(n_procs)]
+        for p in procs:
+            p.start()
+        total = sum(q.get() for _ in procs)
+        for p in procs:
+            p.join()
+        return total / 1e9
+    finally:
+        os.sched_setaffinity(0, orig)
+
+
 def run_scaling_leg(cpus: int, path: str, n_turns: int, job: str = "plain") -> None:
     """Child-process entry (bench.py --scaling-leg CPUS PATH N_TURNS [JOB]):
     pin the WHOLE process tree (driver JVM + Python workers) to exactly
@@ -289,6 +333,7 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
     path, n_turns = ensure_scaling_corpus(n_convs)
     results: dict = {}
     observed: dict = {low: [], high: []}
+    bw_high_pre = bandwidth_throughput(high)
     # 2 attempts per level, interleaved, best wall each.  SYMMETRIC
     # attempt counts matter: an asymmetric 3-high/2-low best-of once
     # recorded a superlinear 1.13 when both low legs caught one steal
@@ -300,6 +345,10 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
         if cpus not in results or wall < results[cpus][1]:
             results[cpus] = (n_turns / wall, wall, n_turns)
     n = n_turns
+    bw_low = bandwidth_throughput(low)
+    bw_high_post = bandwidth_throughput(high)
+    bw_high = max(bw_high_pre, bw_high_post)
+    bw_spread = max(bw_high_pre, bw_high_post) / min(bw_high_pre, bw_high_post)
 
     def _eff() -> float:
         return (results[high][0] / results[low][0]) / (high / low)
@@ -327,7 +376,10 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
         return max(walls) / min(walls) if walls else 1.0
 
     spread_low, spread_high = _spread(low), _spread(high)
-    unstable = hw_eff < 0.9 or max(spread_low, spread_high) > 1.15
+    # the bandwidth probe closes the round-4 attribution gap: a window
+    # whose before/after bandwidth readings disagree is memory-contended
+    # even when the CPU control is healthy, so it is retry-eligible
+    unstable = hw_eff < 0.9 or max(spread_low, spread_high) > 1.15 or bw_spread > 1.15
     pre_retry_eff = _eff()
     pre_retry_hw_eff = hw_eff
     retried = False
@@ -337,11 +389,13 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
             wall = _run_leg_subprocess(cpus, path, n_turns)
             if wall < results[cpus][1]:
                 results[cpus] = (n_turns / wall, wall, n_turns)
-        # refresh the control the same way the job legs are treated:
+        # refresh the controls the same way the job legs are treated:
         # best observation per level across windows
         hw_low = max(hw_low, hardware_throughput(low))
         hw_high = max(hw_high, hardware_throughput(high))
         hw_eff = (hw_high / hw_low) / ratio
+        bw_low = max(bw_low, bandwidth_throughput(low))
+        bw_high = max(bw_high, bandwidth_throughput(high))
     eff = _eff()
     tps_low, wall_low, _ = results[low]
     tps_high, wall_high, _ = results[high]
@@ -361,6 +415,9 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
         "pre_retry_hardware_efficiency": round(pre_retry_hw_eff, 3),
         "wall_spread_low": round(spread_low, 3),
         "wall_spread_high": round(spread_high, 3),
+        "bandwidth_low_gbs": round(bw_low, 2),
+        "bandwidth_high_gbs": round(bw_high, 2),
+        "bandwidth_spread_high": round(bw_spread, 3),
     }
 
 
@@ -375,11 +432,16 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
     path, n_turns = ensure_scaling_corpus(n_convs)
     results: dict = {}
     observed: dict = {low: [], high: []}
+    bw_high_pre = bandwidth_throughput(high)
     for cpus in (high, low, high, low):
         wall = _run_leg_subprocess(cpus, path, n_turns, "meta")
         observed[cpus].append(wall)
         if cpus not in results or wall < results[cpus]:
             results[cpus] = wall
+    bw_low = bandwidth_throughput(low)
+    bw_high_post = bandwidth_throughput(high)
+    bw_high = max(bw_high_pre, bw_high_post)
+    bw_spread = max(bw_high_pre, bw_high_post) / min(bw_high_pre, bw_high_post)
 
     def _eff() -> float:
         return (results[low] / results[high]) / (high / low)
@@ -390,8 +452,10 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
     spread_low = max(observed[low]) / min(observed[low])
     spread_high = max(observed[high]) / min(observed[high])
     # same instability-gated retry as the plain section (CPU control OR
-    # the job's own per-level leg disagreement)
-    unstable = hw_eff < 0.9 or max(spread_low, spread_high) > 1.15
+    # the job's own per-level leg disagreement OR — round-5 — the
+    # bandwidth probe disagreeing with itself across the window, the
+    # contention mode the CPU probe cannot see)
+    unstable = hw_eff < 0.9 or max(spread_low, spread_high) > 1.15 or bw_spread > 1.15
     pre_retry_eff = _eff()
     retried = False
     if pre_retry_eff < 0.8 and unstable:
@@ -401,6 +465,8 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
         hw_low = max(hw_low, hardware_throughput(low, rounds=1))
         hw_high = max(hw_high, hardware_throughput(high, rounds=1))
         hw_eff = (hw_high / hw_low) / (high / low)
+        bw_low = max(bw_low, bandwidth_throughput(low))
+        bw_high = max(bw_high, bandwidth_throughput(high))
     return {
         "low_parallelism": low,
         "high_parallelism": high,
@@ -415,6 +481,9 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
         "pre_retry_efficiency": round(pre_retry_eff, 3),
         "wall_spread_low": round(spread_low, 3),
         "wall_spread_high": round(spread_high, 3),
+        "bandwidth_low_gbs": round(bw_low, 2),
+        "bandwidth_high_gbs": round(bw_high, 2),
+        "bandwidth_spread_high": round(bw_spread, 3),
     }
 
 
@@ -433,7 +502,10 @@ def main() -> None:
     # section (round-3 VERDICT item 6: single unpinned runs swung 3x with
     # host steal — text_token_stats 0.79 -> 2.86 s on an unchanged plan —
     # making round-over-round per-query comparison noise below ~2x)
-    controls = {"queries_cpu_tps": round(hardware_throughput(CPUS, rounds=1), 2)}
+    controls = {
+        "queries_cpu_tps": round(hardware_throughput(CPUS, rounds=1), 2),
+        "bandwidth_gbs": round(bandwidth_throughput(CPUS), 2),
+    }
     for name in BENCH_QUERIES:
         fn = SPARK_QUERIES[name]
         best = float("inf")
