@@ -1138,6 +1138,22 @@ ORACLE_SQL = {
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     "extract_documents_with_metadata": EXTRACT_DOCS_WITH_META_SQL,
     "extract_documents_pdf": EXTRACT_DOCS_PDF_SQL,
-    # extract_turn_metadata / extract_transcript_turns / extract_tier_metrics:
-    # non-SQL-expressible (full cascade); driver records rows-only checks
+    # extract_transcript_turns / extract_turn_metadata / extract_tier_metrics:
+    # the full cascade is non-SQL-expressible, so — like text_lang_id_ngram —
+    # the oracle replays outputs PINNED at generation time over the same
+    # deterministic synthetic corpus (tools/gen_cascade_fixture.py; a hash
+    # match proves the live run reproduces the pinned rows; reference
+    # CORRECTNESS is pinned separately by the parity suites and the
+    # SQL-expressible extract_documents_* oracles)
+    "extract_transcript_turns": """
+    SELECT * FROM read_parquet('/root/repo/tests/fixtures/cascade_turns_expected.parquet')
+    """,
+    "extract_turn_metadata": """
+    SELECT * FROM read_parquet('/root/repo/tests/fixtures/turn_metadata_expected.parquet')
+    """,
+    "extract_tier_metrics": """
+    SELECT tier, COUNT(*) AS n_turns, SUM(chars_kept) AS total_chars
+    FROM read_parquet('/root/repo/tests/fixtures/cascade_turns_expected.parquet')
+    GROUP BY tier ORDER BY tier
+    """,
 }
