@@ -171,12 +171,15 @@ def main() -> int:
     p = plan_of(Q.q_orders_priority_exists(spark, sf_dir))
     check("exists query uses semi join", "LeftSemi" in p)
 
-    # repetition signals: partial aggregation before every exchange, no
-    # Python, no cartesian
+    # repetition signals are PER-DOCUMENT: round-5 rewrote the explode ->
+    # groupBy(doc, n, gram) formulation (which exchanged ~9x-token-count
+    # rows to compute numbers each executor already had) into sorted
+    # run-walk projections — the plan must contain NO Exchange at all,
+    # no Python, no cartesian
     r = Q.text_quality_repetition(spark, sf_dir)
     r.collect()
     p = plan_of(r)
-    check("repetition partial aggregation", "partial_" in p)
+    check("repetition shuffle-free (no Exchange)", "Exchange" not in p)
     check("repetition no Python / no cartesian", "Python" not in p and "CartesianProduct" not in p)
 
     # Q17 shape: the per-part thresholds table is corpus-keyed — under a
