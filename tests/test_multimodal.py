@@ -132,3 +132,59 @@ def test_image_dimensions_real_header_parse(spark):
     # png/gif rows must NOT pass through Python (only the jpeg branch does)
     plan = image_dimensions(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+def _wav(seconds: float, sample_rate: int = 8000, block: int = 2):
+    import struct
+    byte_rate = sample_rate * block
+    data = b"\x00" * int(seconds * byte_rate)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, block, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"   # extra chunk to force a real walk
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4(duration: int, timescale: int = 1000, version: int = 0):
+    import struct
+    if version:
+        mvhd_body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + struct.pack(">I", timescale) + struct.pack(">Q", duration))
+    else:
+        mvhd_body = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                     + struct.pack(">I", timescale) + struct.pack(">I", duration))
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    free = struct.pack(">I", 12) + b"free" + b"pad!"     # sibling box before mvhd
+    moov = struct.pack(">I", 8 + len(free) + len(mvhd)) + b"moov" + free + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_media_durations_real_header_parse(spark):
+    """WAV (RIFF chunk walk) and MP4 (ISO-BMFF box walk to mvhd) durations
+    from real container headers — no audio/video library, no decode; only
+    riff/mp4 rows cross into Python."""
+    from trafilatura_spark.operators.multimodal import (
+        media_durations, mp4_duration, wav_duration,
+    )
+
+    assert wav_duration(_wav(2.5)) == 2.5
+    assert wav_duration(b"RIFFxxxxNOPE") is None
+    assert wav_duration(b"junk") is None
+    assert mp4_duration(_mp4(90_000, 1000)) == 90.0
+    assert mp4_duration(_mp4(48_000 * 60, 48_000, version=1)) == 60.0
+    assert mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00") is None
+
+    rows = [
+        (1, bytearray(_wav(1.25))),
+        (2, bytearray(_mp4(30_000, 1000))),
+        (3, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in media_durations(df).collect()}
+    assert abs(out[1].duration_s - 1.25) < 1e-6 and out[1].duration_source == "container-header"
+    assert abs(out[2].duration_s - 30.0) < 1e-6 and out[2].format == "mp4"
+    assert out[3].duration_s is None and out[3].duration_source is None
+    plan = media_durations(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
