@@ -648,8 +648,8 @@ def test_identity_h_with_tounicode_still_decodes():
 def test_two_column_row_major_page_labeled():
     """A page rendered ROW-MAJOR across two columns (left cell, right
     cell, next row...) interleaves the columns in stream order — the
-    document is labeled tier='pdf_multi_column' so corpus owners can
-    count pages needing layout reconstruction.  Text is still emitted."""
+    document is labeled tier='pdf_multi_column' AND its reading order is
+    reconstructed column-by-column from the Tm span positions."""
     rows = []
     y = 700
     for i in range(5):
@@ -664,6 +664,13 @@ def test_two_column_row_major_page_labeled():
     assert info.multi_column
     res = bare_extract(pdf, Options(min_extracted_size=0))
     assert res.tier == "pdf_multi_column" and "left column row 0" in res.text
+    # reading order is RECONSTRUCTED column-major: all left-column rows
+    # precede all right-column rows, each column top-to-bottom
+    positions = {line: i for i, line in enumerate(res.text.splitlines())}
+    lefts = [positions[f"left column row {i} words here"] for i in range(5)]
+    rights = [positions[f"right column row {i} words too"] for i in range(5)]
+    assert lefts == sorted(lefts) and rights == sorted(rights)
+    assert max(lefts) < min(rights)
 
 
 def test_single_column_tm_page_not_flagged():

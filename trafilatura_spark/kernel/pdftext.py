@@ -17,7 +17,9 @@ BT..ET:
   Td / TD / T*             line-positioning operators -> line breaks
   a b c d e f Tm           text matrix: vertical move -> line break;
                            repeated column-gap x-jumps at constant y
-                           -> multi-column interleave flag
+                           -> multi-column flag + column-major
+                           reading-order RECONSTRUCTION from span
+                           positions (per stream/page)
   /F1 12 Tf                font selection (drives CMap decoding)
 
 Simple fonts decode byte-per-glyph (PDFDocEncoding is latin-1-compatible
@@ -577,14 +579,16 @@ _COL_SUSPECT_JUMPS = 4
 
 def _content_block_texts(
     content: bytes, fonts: Dict[str, CMap], nomap: frozenset = frozenset()
-) -> Tuple[List[str], bool, int]:
+) -> Tuple[List[str], bool, int, List[Tuple[float, float, str]]]:
     """Interpret one content stream: text of each BT..ET block, in order.
 
-    Returns (blocks, unmapped_cid_shown, column_jumps):
+    Returns (blocks, unmapped_cid_shown, column_jumps, spans):
     ``unmapped_cid_shown`` — a show operator fired on a composite font
     with no ToUnicode map (its CIDs are suppressed, never garbage);
     ``column_jumps`` — count of large-x/small-y Tm moves feeding the
-    multi-column interleave heuristic above."""
+    multi-column interleave heuristic above; ``spans`` — (x, y, text)
+    for every show that had a Tm-known position, the raw material for
+    column reading-order reconstruction when the heuristic fires."""
     blocks: List[str] = []
     parts: Optional[List[str]] = None
     operands: List[Tuple[str, object]] = []
@@ -595,6 +599,7 @@ def _content_block_texts(
     col_jumps = 0
     last_e: Optional[float] = None
     last_f: Optional[float] = None
+    spans: List[Tuple[float, float, str]] = []
 
     def last_string() -> Optional[bytes]:
         for kind, val in reversed(operands):
@@ -614,7 +619,10 @@ def _content_block_texts(
             if s:
                 unmapped_shown = True  # CIDs with no text mapping: suppress
             return
-        parts.append(_decode_shown(s, cur_map))
+        decoded = _decode_shown(s, cur_map)
+        parts.append(decoded)
+        if last_e is not None and decoded.strip():
+            spans.append((last_e, last_f, decoded))
 
     for kind, val in _tokens(content):
         if kind != "op":
@@ -687,19 +695,54 @@ def _content_block_texts(
                             if any(ek in ("str", "hex") and ev for ek, ev in v):
                                 unmapped_shown = True
                         else:
-                            parts.append(
-                                "".join(
-                                    _decode_shown(ev, cur_map)  # type: ignore[arg-type]
-                                    for ek, ev in v  # type: ignore[union-attr]
-                                    if ek in ("str", "hex")
-                                )
+                            joined = "".join(
+                                _decode_shown(ev, cur_map)  # type: ignore[arg-type]
+                                for ek, ev in v  # type: ignore[union-attr]
+                                if ek in ("str", "hex")
                             )
+                            parts.append(joined)
+                            if last_e is not None and joined.strip():
+                                spans.append((last_e, last_f, joined))
                         break
             elif op in (b"Td", b"TD", b"T*"):
                 newline()
         operands = []
         arr = None
-    return blocks, unmapped_shown, col_jumps
+    return blocks, unmapped_shown, col_jumps, spans
+
+
+def _reconstruct_columns(spans: List[Tuple[float, float, str]]) -> List[str]:
+    """Reading-order reconstruction for a row-major multi-column stream:
+    cluster span x-positions into columns (a gap wider than _COL_X_JUMP
+    starts a new column), then emit column by column left-to-right, each
+    column top-to-bottom (descending y, PDF y grows upward).  Assumes the
+    stream is one page (the overwhelmingly common one-content-stream-per-
+    page layout); a multi-page single-stream document would interleave
+    its pages' columns — the tier label still marks the document for
+    inspection."""
+    xs = sorted({x for x, _, _ in spans})
+    bounds: List[float] = []  # column left edges
+    last_member: Optional[float] = None
+    for x in xs:
+        # a new column opens when the gap from the PREVIOUS x (not the
+        # column's left edge) exceeds the column-gap threshold, so ragged
+        # indents inside one column keep clustering together
+        if last_member is None or x - last_member > _COL_X_JUMP:
+            bounds.append(x)
+        last_member = x
+    columns: List[List[Tuple[float, int, str]]] = [[] for _ in bounds]
+    for idx, (x, y, text) in enumerate(spans):
+        col = 0
+        for c, left in enumerate(bounds):
+            if x >= left - 1e-6:
+                col = c
+        columns[col].append((y, idx, text))
+    lines: List[str] = []
+    for col in columns:
+        # top-to-bottom; stable on ties via original stream order
+        for _, _, text in sorted(col, key=lambda s: (-s[0], s[1])):
+            lines.append(text)
+    return lines
 
 
 class PdfTextInfo(NamedTuple):
@@ -759,14 +802,23 @@ def extract_pdf_info(
             content = _inflate(raw)
             if b"BT" not in content:
                 continue
-            texts, stream_unmapped, stream_jumps = _content_block_texts(
+            texts, stream_unmapped, stream_jumps, spans = _content_block_texts(
                 content, fonts, nomap
             )
             unmapped = unmapped or stream_unmapped
             col_jumps += stream_jumps
-            for text in texts:
-                if text.strip():
-                    lines.append(text.strip())
+            if stream_jumps >= _COL_SUSPECT_JUMPS and spans:
+                # row-major multi-column stream: rebuild reading order
+                # column-by-column from the positioned spans (per stream
+                # = per page in the common layout) instead of emitting
+                # the interleaved stream order
+                for text in _reconstruct_columns(spans):
+                    if text.strip():
+                        lines.append(text.strip())
+            else:
+                for text in texts:
+                    if text.strip():
+                        lines.append(text.strip())
     except Exception:
         return PdfTextInfo("", False, False)
     return PdfTextInfo(
