@@ -384,3 +384,38 @@ def validate_tei(teidoc: Element) -> tuple:
             if attr not in allowed_attrs:
                 errors.append(f"attribute {attr!r} not allowed on <{el.tag}>")
     return not errors, errors
+
+
+# --- real DTD validation (reference xml.py:284-296 parity) -------------------
+
+_DTD_SCHEMA_CACHE: dict = {}
+
+
+def load_tei_dtd(path: Optional[str] = None):
+    """Parse a TEI DTD into a validatable schema (kernel/dtd.py — the
+    from-scratch DTD engine standing in for lxml.etree.DTD).  The path
+    resolves from the argument, then $TEI_DTD_PATH; returns None when no
+    DTD file is available (callers fall back to the structural
+    validator).  Parsed schemas are cached per path."""
+    import os
+
+    path = path or os.environ.get("TEI_DTD_PATH")
+    if not path or not os.path.exists(path):
+        return None
+    if path not in _DTD_SCHEMA_CACHE:
+        from .dtd import parse_dtd
+
+        with open(path, "r", encoding="utf-8") as fh:
+            _DTD_SCHEMA_CACHE[path] = parse_dtd(fh.read())
+    return _DTD_SCHEMA_CACHE[path]
+
+
+def validate_tei_dtd(teidoc: Element, dtd_path: Optional[str] = None) -> tuple:
+    """TEI validation against an actual DTD when one is available
+    (reference validate_tei, xml.py:284-296: `DTD(TEI_SCHEMA).validate`),
+    else the structural validator.  Returns (is_valid, errors)."""
+    schema = load_tei_dtd(dtd_path)
+    if schema is None:
+        return validate_tei(teidoc)
+    errors = schema.validate(teidoc)
+    return not errors, errors
