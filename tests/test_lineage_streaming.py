@@ -230,3 +230,54 @@ def test_streaming_dedup_within_watermark(spark, small_df, tmp_path):
     got = spark.read.parquet(outp)
     assert got.count() == n_unique
     assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_streaming_quality_filters_stateless(spark, tmp_path):
+    """The Gopher quality + repetition filters run NATIVELY under
+    Structured Streaming with no aggregation state: quality_gopher was
+    always a projection, and the round-5 shuffle-free quality_repetition
+    (sorted run-walk projections) made the repetition metrics streamable
+    too — the earlier explode->groupBy formulation would have required
+    an output-mode/watermark design for what is conceptually a per-row
+    computation.  Stream results must equal the batch run row-for-row."""
+    from trafilatura_spark.operators.textstats import quality_gopher, quality_repetition
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and that is fine "
+            "because every sentence here varies its wording deliberately "
+            "with plenty of distinct tokens to pass the word count gate "
+            * 2),
+        (2, "buy now " * 60),
+        (3, "paragraph one\n\nparagraph one\n\nparagraph two"),
+    ]
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_df.write.parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    joined = quality_repetition(stream).join(
+        quality_gopher(stream).select("doc_id", "passes"), "doc_id"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: r
+        for r in quality_repetition(batch_df)
+        .join(quality_gopher(batch_df).select("doc_id", "passes"), "doc_id")
+        .collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for k in want:
+        assert got[k].asDict() == want[k].asDict()
+    assert got[2].rep_passes is False          # spam 2-gram
+    assert got[3].dup_para_frac > 0.3          # duplicated paragraph

@@ -197,6 +197,11 @@ def main() -> int:
     p = plan_of(Q.q_customer_value_deciles(spark, sf_dir))
     check("deciles window above aggregate", "Window" in p and "partial_" in p)
 
+    # grouping sets: all four granularities from ONE scan via Expand —
+    # never planned as a union of four separate aggregations
+    p = plan_of(Q.q_events_grouping_sets(spark, sf_dir))
+    check("grouping sets single Expand no Union", "Expand" in p and "Union" not in p)
+
     spark.stop()
     failures = [n for n, ok in CHECKS if not ok]
     print(f"{len(CHECKS) - len(failures)}/{len(CHECKS)} plan assertions hold")

@@ -225,6 +225,46 @@ GROUP BY 1, 2
 """
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in ONE pass: GROUPING SETS over
+    (month, event_type), (month) and (event_type) plus the grand total —
+    the CUBE/rollup family beyond q_rollup_returns' linear hierarchy.
+    Spark plans this as a single Expand + aggregate (one scan, one
+    shuffle) instead of four separate scans unioned; grouping_id()
+    labels which set each row belongs to, replacing NULL ambiguity
+    (a NULL month from the aggregation vs a NULL in the data)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type", "value"
+    )
+    grouped = ev.groupingSets(
+        [["month", "event_type"], ["month"], ["event_type"], []],
+        "month",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    return grouped.select(
+        F.coalesce("month", F.lit("ALL")).alias("month"),
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        "n_events",
+        "total_value",
+        "gid",
+    )
+
+
+Q_EVENTS_GROUPING_SETS_SQL = """
+SELECT COALESCE(strftime(ts, '%Y-%m'), 'ALL') AS month,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       CAST(GROUPING(strftime(ts, '%Y-%m')) * 2 + GROUPING(event_type) AS INT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m'), event_type), (strftime(ts, '%Y-%m')), (event_type), ())
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Anti-join: customers without any big-ticket order, rolled up by nation."
     cust = _t(spark, sf_dir, "customer")
@@ -1038,6 +1078,7 @@ SPARK_QUERIES = {
     "q_events_daily": q_events_daily,
     "q_customers_without_orders": q_customers_without_orders,
     "q_rollup_returns": q_rollup_returns,
+    "q_events_grouping_sets": q_events_grouping_sets,
     "q_events_funnel": q_events_funnel,
     "q_events_asof_orders": q_events_asof_orders,
     "q_events_asof_nulls": q_events_asof_nulls,
@@ -1088,6 +1129,7 @@ ORACLE_SQL = {
     "q_events_daily": Q_EVENTS_DAILY_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
+    "q_events_grouping_sets": Q_EVENTS_GROUPING_SETS_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
     "q_events_asof_orders": Q_ASOF_SQL,
     "q_events_asof_nulls": Q_ASOF_NULLS_SQL,
