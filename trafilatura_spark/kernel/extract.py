@@ -434,16 +434,13 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
     )
 
 
-def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[str]:
-    """Reference `extract()`-equivalent: txt/markdown return the plain
-    string; csv/json/html/xml formats serialize via the format
-    dispatcher (core.py:494-588, 78-132)."""
-    result = bare_extract(filecontent, options)
-    # the only_with_metadata completeness gate runs inside bare_extract
-    # (reference core.py:419-422), so a failed gate arrives here as
-    # result.text=None/tier='no_metadata' — no re-extraction needed.
-    # txt/markdown return the plain string UNLESS metadata was requested —
-    # then the YAML front-matter path runs (reference core.py:118-125)
+def serialize_result(result: ExtractionResult, options: Options) -> Optional[str]:
+    """Format dispatcher over a finished ExtractionResult — shared by the
+    extract() facade and the Spark operator (operators/extract.py), so a
+    format='xml'/'json'/... job serializes per turn identically to the
+    single-document API.  txt/markdown return the plain string UNLESS
+    metadata was requested — then the YAML front-matter path runs
+    (reference core.py:118-125)."""
     if result.text is None or (
         options.format in ("txt", "markdown") and not options.with_metadata
     ):
@@ -467,3 +464,13 @@ def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[st
                 f"{metadata.title} {result.raw_text}"
             )
     return determine_returnstring(result.body, result.commentsbody, options, metadata)
+
+
+def extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Optional[str]:
+    """Reference `extract()`-equivalent: txt/markdown return the plain
+    string; csv/json/html/xml formats serialize via the format
+    dispatcher (core.py:494-588, 78-132)."""
+    # the only_with_metadata completeness gate runs inside bare_extract
+    # (reference core.py:419-422), so a failed gate arrives at the
+    # dispatcher as result.text=None/tier='no_metadata' — no re-extraction
+    return serialize_result(bare_extract(filecontent, options), options)

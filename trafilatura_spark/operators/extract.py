@@ -97,7 +97,25 @@ def extract_one_result(
     if timeout is not None:
         options = options.copy(deadline=time.monotonic() + timeout)
     try:
-        return bare_extract(wrapped, options)
+        result = bare_extract(wrapped, options)
+        if options.format not in ("txt", "markdown") and result.text is not None:
+            # non-text formats (xml/json/csv/html/xmltei) serialize through
+            # the same dispatcher as the extract() facade, so a format job
+            # on the cluster emits per-turn strings byte-identical to the
+            # single-document API.  txt/markdown stay plain here even with
+            # metadata: the operator surfaces metadata as COLUMNS
+            # (extract_with_metadata), not YAML front matter.
+            from ..kernel.extract import serialize_result
+
+            serialized = serialize_result(result, options)
+            return ExtractionResult(
+                serialized,
+                result.tier,
+                len(serialized) if serialized else 0,
+                result.len_comments,
+                metadata=result.metadata,
+            )
+        return result
     except Exception:
         return ExtractionResult(None, "error", 0, 0)
 

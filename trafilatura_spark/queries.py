@@ -908,6 +908,79 @@ FROM documents
 """
 
 
+def extract_documents_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked XML serialization: heading + paragraph with literal
+    `1 &lt; 2 &amp; 3` entities through the full cascade in format='xml'.
+    Value-checks the <doc><main> wrapper, <head rend> conversion, the
+    2-space indentation policy, and text-node re-escaping (& and < must
+    come back out as entities) against a DuckDB twin that states the
+    expected document verbatim."""
+    from .kernel.settings import Options
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<article><h2>Doc "),
+            F.col("doc_id"),
+            F.lit("</h2><p>Alpha 1 &lt; 2 &amp; 3 gamma. "),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article>"),
+        ).alias("text"),
+    )
+    out = extract_transcripts(docs, options=Options(format="xml"), num_partitions=32)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"), F.col("extracted_text"))
+
+
+EXTRACT_DOCS_XML_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(
+         '<doc>' || chr(10)
+         || '  <main>' || chr(10)
+         || '    <head rend="h2">Doc ' || doc_id || '</head>' || chr(10)
+         || '    <p>Alpha 1 &lt; 2 &amp; 3 gamma. '
+         || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' {_PAD}</p>' || chr(10)
+         || '  </main>' || chr(10)
+         || '  <comments/>' || chr(10)
+         || '</doc>'
+       ) AS extracted_text
+FROM documents
+"""
+
+
+def extract_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked JSON serialization (format='json', no metadata):
+    the {{"text": ..., "comments": ""}} shape with the heading/body
+    newline encoded as the two-character \\n JSON escape."""
+    from .kernel.settings import Options
+    from .operators.extract import extract_transcripts
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<article><h2>Doc "),
+            F.col("doc_id"),
+            F.lit("</h2><p>Alpha gamma. "),
+            F.col("text"),
+            F.lit(f" {_PAD}</p></article>"),
+        ).alias("text"),
+    )
+    out = extract_transcripts(docs, options=Options(format="json"), num_partitions=32)
+    return out.select(F.col("conv_id").cast("long").alias("doc_id"), F.col("extracted_text"))
+
+
+EXTRACT_DOCS_JSON_SQL = f"""
+SELECT doc_id,
+       nfc_normalize(
+         '{{"text": "Doc ' || doc_id || '\\nAlpha gamma. '
+         || trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' {_PAD}", "comments": ""}}'
+       ) AS extracted_text
+FROM documents
+"""
+
+
 def extract_documents_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable metadata extraction: build a deterministic page
     (title + keywords meta) around each document, run the FULL metadata
@@ -1112,6 +1185,8 @@ SPARK_QUERIES = {
     "extract_documents_article": extract_documents_article,
     "extract_documents_list": extract_documents_list,
     "extract_documents_markdown": extract_documents_markdown,
+    "extract_documents_xml": extract_documents_xml,
+    "extract_documents_json": extract_documents_json,
     "extract_documents_metadata": extract_documents_metadata,
     "extract_documents_with_metadata": extract_documents_with_metadata,
     "extract_documents_pdf": extract_documents_pdf,
@@ -1177,6 +1252,8 @@ ORACLE_SQL = {
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
     "extract_documents_list": EXTRACT_DOCS_LIST_SQL,
     "extract_documents_markdown": EXTRACT_DOCS_MD_SQL,
+    "extract_documents_xml": EXTRACT_DOCS_XML_SQL,
+    "extract_documents_json": EXTRACT_DOCS_JSON_SQL,
     "extract_documents_metadata": EXTRACT_DOCS_META_SQL,
     "extract_documents_with_metadata": EXTRACT_DOCS_WITH_META_SQL,
     "extract_documents_pdf": EXTRACT_DOCS_PDF_SQL,
