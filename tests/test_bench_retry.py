@@ -15,13 +15,17 @@ def load_bench():
     return mod
 
 
-def _patch(mod, walls, hw_values, monkeypatch):
-    "walls/hw_values are consumed in call order."
+def _patch(mod, walls, hw_values, monkeypatch, bw_values=None):
+    "walls/hw_values/bw_values are consumed in call order."
     walls = list(walls)
     hw_values = list(hw_values)
+    # bandwidth probe order per section: high(pre), low, high(post)
+    # [+ low, high on retry]; default = a flat quiet-bandwidth window
+    bw_values = list(bw_values) if bw_values is not None else [100.0] * 8
     monkeypatch.setattr(mod, "ensure_scaling_corpus", lambda n: ("/tmp/fake", 100_000))
     monkeypatch.setattr(mod, "_run_leg_subprocess", lambda cpus, path, n: walls.pop(0))
     monkeypatch.setattr(mod, "hardware_throughput", lambda n, rounds=2: hw_values.pop(0))
+    monkeypatch.setattr(mod, "bandwidth_throughput", lambda n: bw_values.pop(0))
     return walls, hw_values
 
 
@@ -85,3 +89,40 @@ def test_unstable_legs_with_quiet_control_retries(monkeypatch):
     assert out["pre_retry_efficiency"] < 0.8
     assert out["wall_high"] == 25.0 and out["scaling_efficiency"] == 1.0
     assert out["wall_spread_high"] == 1.75  # the audit trail of WHY
+
+
+def test_bandwidth_unstable_window_triggers_retry(monkeypatch):
+    """Round-5: the bandwidth probe closes the round-4 attribution gap —
+    a below-target reading whose before/after bandwidth measurements
+    disagree (> 15%) is memory-contended even when the CPU control AND
+    the job's own leg spreads look quiet, and becomes retry-eligible."""
+    mod = load_bench()
+    walls, hw = _patch(
+        mod,
+        [50.0, 100.0, 51.0, 101.0, 25.0, 100.0],  # legs stable; +retry pair
+        [1.0, 3.9, 1.0, 3.9],                     # CPU control healthy
+        monkeypatch,
+        # high(pre)=160, low=60, high(post)=100 -> spread 1.6; retry
+        # refreshes low/high to the best observation
+        bw_values=[160.0, 60.0, 100.0, 62.0, 170.0],
+    )
+    out = mod.scaling_section(1000, 4, 16)
+    assert walls == [] and hw == []
+    assert out["retried"] is True and out["scaling_efficiency"] == 1.0
+    assert out["bandwidth_spread_high"] == 1.6   # the audit trail of WHY
+    assert out["bandwidth_high_gbs"] == 170.0 and out["bandwidth_low_gbs"] == 62.0
+
+
+def test_bandwidth_quiet_slow_job_does_not_retry(monkeypatch):
+    "Stable legs + healthy CPU + flat bandwidth: slow is slow, no retry."
+    mod = load_bench()
+    walls, hw = _patch(
+        mod,
+        [50.0, 100.0, 51.0, 101.0],
+        [1.0, 3.9],
+        monkeypatch,
+        bw_values=[100.0, 40.0, 101.0],  # high spread 1.01 — flat window
+    )
+    out = mod.scaling_section(1000, 4, 16)
+    assert out["retried"] is False and out["scaling_efficiency"] == 0.5
+    assert out["bandwidth_spread_high"] == 1.01
