@@ -556,3 +556,69 @@ def test_dedup_clusters_keeper_semantics(spark):
     assert rows[2].cluster_id == 1 and not rows[2].is_keeper
     assert rows[3].cluster_id == 1 and not rows[3].is_keeper
     assert 50 not in rows
+
+
+def test_quality_repetition_matches_independent_python_model(spark):
+    """The sorted run-walk aggregate expressions (shuffle-free repetition)
+    are pinned against an INDEPENDENT Counter-based Python model over
+    randomized repetitive documents — tie-breaks, the cnt>1 top-gram
+    guard, segment char fractions and rounding all must agree."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    from trafilatura_spark.operators.textstats import (
+        REP_DUP_THRESHOLDS, REP_TOP_THRESHOLDS, quality_repetition,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = []
+    for i in range(24):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        if rng.random() < 0.5 and words:  # inject a repeated phrase
+            phrase = words[: rng.randint(1, min(12, len(words)))]
+            for _ in range(rng.randint(1, 3)):
+                pos = rng.randint(0, len(words))
+                words[pos:pos] = phrase
+        text = " ".join(words)
+        if rng.random() < 0.4:  # multi-line / multi-paragraph shapes
+            lines = [text[: len(text) // 2], text[: len(text) // 2], text]
+            text = ("\n" if rng.random() < 0.5 else "\n\n").join(lines)
+        docs.append((i, text))
+
+    def model(text):
+        toks = _re.split(r"\s+", text.strip().lower())
+        n_chars = max(len(text.strip()), 1)
+        out = {}
+        for n in list(REP_TOP_THRESHOLDS) + list(REP_DUP_THRESHOLDS):
+            grams = [" ".join(toks[k:k + n]) for k in range(len(toks) - n + 1)] if len(toks) >= n else []
+            c = Counter(grams)
+            if n in REP_TOP_THRESHOLDS:
+                chars = 0
+                if c:
+                    cnt, g = sorted(((-v, k) for k, v in c.items()))[0]
+                    if -cnt > 1:
+                        chars = -cnt * len(g)
+                out[f"top{n}_char_frac"] = round(chars / n_chars, 6)
+            else:
+                chars = sum(v * len(k) for k, v in c.items() if v > 1)
+                out[f"dup{n}_char_frac"] = round(chars / n_chars, 6)
+        for kind, pat in (("line", r"\n"), ("para", r"\n{2,}")):
+            segs = [s.strip() for s in _re.split(pat, text) if s.strip()]
+            c = Counter(segs)
+            total, tot_chars = len(segs), sum(len(s) for s in segs)
+            dup_n = sum(v - 1 for v in c.values())
+            dup_chars = sum((v - 1) * len(k) for k, v in c.items() if v > 1)
+            out[f"dup_{kind}_frac"] = round(dup_n / total, 6) if total else 0.0
+            out[f"dup_{kind}_char_frac"] = (
+                round(dup_chars / max(tot_chars, 1), 6) if total else 0.0
+            )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in quality_repetition(df).collect()}
+    for doc_id, text in docs:
+        want = model(text)
+        for k, v in want.items():
+            assert abs(got[doc_id][k] - v) < 1e-9, (doc_id, k, got[doc_id][k], v, text)
