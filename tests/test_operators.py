@@ -622,3 +622,28 @@ def test_quality_repetition_matches_independent_python_model(spark):
         want = model(text)
         for k, v in want.items():
             assert abs(got[doc_id][k] - v) < 1e-9, (doc_id, k, got[doc_id][k], v, text)
+
+
+def test_benchmark_contamination_semantics_and_plan(spark):
+    """Decontamination: a doc embedding a benchmark 13-gram flags; clean
+    docs report zero; benchmark docs flag against themselves.  Plan: the
+    benchmark side broadcasts (corpus is never shuffled pre-join)."""
+    from trafilatura_spark.operators.dedup import benchmark_contamination
+
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    leak = " ".join(f"bench{i}" for i in range(13))  # exactly one 13-gram window
+    docs = [
+        (0, bench_text),                                        # the benchmark itself
+        (1, "clean words " * 20),
+        (2, "prefix words here " + leak + " suffix words"),     # contaminated
+        (3, " ".join(f"bench{i}" for i in range(12))),          # only 12 shared tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    out = {r.doc_id: r for r in benchmark_contamination(df, bench).collect()}
+    assert out[0].contaminated and out[0].n_contaminated_grams == 8  # 20-13+1
+    assert not out[1].contaminated and out[1].n_contaminated_grams == 0
+    assert out[2].contaminated and out[2].n_contaminated_grams == 1
+    assert not out[3].contaminated  # sub-threshold overlap is NOT contamination
+    plan = benchmark_contamination(df, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan

@@ -595,3 +595,86 @@ def dedup_clusters_sql(
            src = LEAST(src, MIN(dst)) AS is_keeper
     FROM reach GROUP BY src ORDER BY {id_col}
     """
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training-data DECONTAMINATION: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set — the 13-gram overlap rule
+    published for GPT-3 (Brown et al. 2020 §C) and The Pile.  Returns
+    (doc_id, n_contaminated_grams, contaminated) for EVERY corpus row.
+
+    100 TB shape: the benchmark is eval-set-sized (thousands of items),
+    so its distinct n-grams BROADCAST; the corpus side explodes grams
+    and probes the broadcast hash join map-side — the corpus itself is
+    never shuffled.  The only exchange carries the JOIN SURVIVORS
+    (contaminated grams only, usually a vanishing fraction), partial-
+    aggregated per doc before the shuffle."""
+    from .textstats import _ngram_expr
+
+    def toks(col):
+        return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(_ngram_expr(toks(text_col), n)).alias("g")
+    )
+    bench_grams = benchmark.select(
+        F.explode(_ngram_expr(toks(bench_text_col), n)).alias("g")
+    ).distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def benchmark_contamination_sql(
+    table: str = "documents",
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_predicate: str = "doc_id < 5",
+) -> str:
+    "DuckDB twin: identical tokenization; benchmark = rows matching the predicate."
+    grams = (
+        f"[array_to_string(t[i:i+{n - 1}], ' ') "
+        f"FOR i IN generate_series(1, len(t) - {n} + 1)]"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+      FROM {table}
+    ),
+    corpus AS (
+      SELECT {id_col}, unnest(CASE WHEN len(t) >= {n} THEN {grams} ELSE [] END) AS g
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(CASE WHEN len(t) >= {n} THEN {grams} ELSE [] END) AS g
+        FROM toks WHERE {bench_predicate}
+      )
+    ),
+    hits AS (
+      SELECT c.{id_col}, COUNT(*) AS n_hits FROM corpus c JOIN bench USING (g)
+      GROUP BY c.{id_col}
+    )
+    SELECT d.{id_col}, COALESCE(h.n_hits, 0) AS n_contaminated_grams,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM {table} d LEFT JOIN hits h USING ({id_col})
+    """

@@ -685,6 +685,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_t(spark, sf_dir, "documents"))
 
 
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile 13-gram overlap rule): flag
+    corpus documents sharing any 13-gram with the benchmark stand-in
+    (documents 0-4).  Scale shape plan-asserted: benchmark grams
+    broadcast, corpus probes map-side, only contaminated grams shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    out = D.benchmark_contamination(docs, bench)
+    return out.orderBy("doc_id")
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1166,6 +1177,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
     "dedup_clusters": dedup_clusters,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1221,6 +1233,7 @@ ORACLE_SQL = {
         num_hashes=D.PRODUCTION_NUM_HASHES, bands=D.PRODUCTION_BANDS
     ),
     "dedup_clusters": D.dedup_clusters_sql(),
+    "dedup_decontaminate": D.benchmark_contamination_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
