@@ -682,3 +682,32 @@ def test_single_column_tm_page_not_flagged():
     pdf = _wrap_stream(b"BT /F1 10 Tf " + lines + b"ET")
     res = bare_extract(pdf, Options(min_extracted_size=0))
     assert res.tier == "pdf" and len(res.text.splitlines()) == 8
+
+
+def test_two_column_multipage_single_stream_pages_not_interleaved():
+    """A single content stream carrying TWO row-major two-column pages:
+    the y-reset between pages splits the reconstruction into page groups,
+    so page 1's columns are fully emitted before page 2's (a naive global
+    y-sort would interleave same-height rows of both pages)."""
+    parts = []
+    for page in range(2):
+        y = 700
+        for i in range(5):
+            parts.append(b"1 0 0 1 72 %d Tm (p%d left row %d words here) Tj " % (y, page, i))
+            parts.append(b"1 0 0 1 330 %d Tm (p%d right row %d words too) Tj " % (y, page, i))
+            y -= 140  # full-page row spacing: the page-2 reset jumps ~560pt up
+    pdf = _wrap_stream(b"BT /F1 10 Tf " + b"".join(parts) + b"ET")
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.tier == "pdf_multi_column"
+    lines = res.text.splitlines()
+    pos = {line: i for i, line in enumerate(lines)}
+    # all of page 0 before all of page 1; within each page, left col
+    # before right col, top to bottom
+    p0 = [pos[l] for l in lines if l.startswith("p0")]
+    p1 = [pos[l] for l in lines if l.startswith("p1")]
+    assert max(p0) < min(p1)
+    for page in range(2):
+        lefts = [pos["p%d left row %d words here" % (page, i)] for i in range(5)]
+        rights = [pos["p%d right row %d words too" % (page, i)] for i in range(5)]
+        assert lefts == sorted(lefts) and rights == sorted(rights)
+        assert max(lefts) < min(rights)

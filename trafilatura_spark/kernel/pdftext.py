@@ -711,15 +711,33 @@ def _content_block_texts(
     return blocks, unmapped_shown, col_jumps, spans
 
 
+_PAGE_RESET_DY = 300.0  # upward jump far beyond column/leading moves
+
+
 def _reconstruct_columns(spans: List[Tuple[float, float, str]]) -> List[str]:
     """Reading-order reconstruction for a row-major multi-column stream:
-    cluster span x-positions into columns (a gap wider than _COL_X_JUMP
-    starts a new column), then emit column by column left-to-right, each
-    column top-to-bottom (descending y, PDF y grows upward).  Assumes the
-    stream is one page (the overwhelmingly common one-content-stream-per-
-    page layout); a multi-page single-stream document would interleave
-    its pages' columns — the tier label still marks the document for
-    inspection."""
+    split the span sequence into PAGE groups first (an upward y-reset
+    larger than _PAGE_RESET_DY means a new page in a single-stream
+    multi-page document — without the split, sorting by y would
+    interleave the pages), then within each page cluster span
+    x-positions into columns (a gap wider than _COL_X_JUMP starts a new
+    column) and emit column by column left-to-right, each column
+    top-to-bottom (descending y, PDF y grows upward)."""
+    pages: List[List[Tuple[float, float, str]]] = [[]]
+    prev_f: Optional[float] = None
+    for span in spans:
+        if prev_f is not None and span[1] - prev_f > _PAGE_RESET_DY and pages[-1]:
+            pages.append([])
+        pages[-1].append(span)
+        prev_f = span[1]
+    out: List[str] = []
+    for page in pages:
+        out.extend(_reconstruct_page(page))
+    return out
+
+
+def _reconstruct_page(spans: List[Tuple[float, float, str]]) -> List[str]:
+    "Column-major reading order of one page's spans (see _reconstruct_columns)."
     xs = sorted({x for x, _, _ in spans})
     bounds: List[float] = []  # column left edges
     last_member: Optional[float] = None
