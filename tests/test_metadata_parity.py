@@ -512,3 +512,28 @@ def test_find_date_jsonld_rung():
         "</head><body><p>no other date signal</p></body></html>"
     )
     assert find_date(doc3) == "2020-01-05"
+
+
+def test_find_date_canonical_link_url_rung():
+    """With no caller URL, the URL rung reads the page's own canonical /
+    og:url declaration (htmldate examines the canonical link): a
+    WordPress /YYYY/MM/DD/ permalink is often the only machine-readable
+    date on the page (round-5 agreement study, bibliothek2null case)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><head>"
+        '<link rel="canonical" href="http://ex.org/2014/05/18/new-in-may/"/>'
+        "</head><body><p>no visible date anywhere in the body text</p></body></html>"
+    )
+    assert find_date(doc) == "2014-05-18"
+    # og:url fallback when no canonical exists
+    doc2 = load_html(
+        "<html><head>"
+        '<meta property="og:url" content="https://ex.org/blog/2019/07/02/title"/>'
+        "</head><body><p>still no visible date</p></body></html>"
+    )
+    assert find_date(doc2) == "2019-07-02"
+    # an explicit caller URL takes precedence over the declarations
+    assert find_date(doc, url="http://ex.org/2013/01/09/other/") == "2013-01-09"

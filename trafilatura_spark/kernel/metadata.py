@@ -974,9 +974,22 @@ def find_date(
                 result = _normalize_date(candidate, min_date, max_date)
                 if result:
                     return result
-    # 4. URL path patterns
-    if url:
-        result = _url_date(url, min_date, max_date)
+    # 4. URL path patterns: the caller's URL, else the page's OWN
+    # canonical / og:url declaration (htmldate examines the canonical
+    # link the same way — a WordPress permalink like /2014/05/18/... in
+    # <link rel="canonical"> is often the only machine date on the page)
+    url_candidates = [url] if url else []
+    if not url:
+        for link in tree.iterdescendants("link"):
+            if link.get("rel") == "canonical" and link.get("href"):
+                url_candidates.append(link.get("href"))
+                break
+        for el in _head_metas(tree):
+            if (el.get("property") or el.get("name")) == "og:url" and el.get("content"):
+                url_candidates.append(el.get("content"))
+                break
+    for candidate_url in url_candidates:
+        result = _url_date(candidate_url, min_date, max_date)
         if result:
             return result
     # 5. modified-date meta (weaker than any published signal above)
