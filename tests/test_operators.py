@@ -647,3 +647,33 @@ def test_benchmark_contamination_semantics_and_plan(spark):
     assert not out[3].contaminated  # sub-threshold overlap is NOT contamination
     plan = benchmark_contamination(df, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_unigram_logprob_ranks_unusual_text_lower(spark):
+    """CCNet-family corpus-LM ranking: a document of corpus-typical
+    tokens scores higher (less negative) than one full of OOV garbage;
+    values match a direct Python recomputation."""
+    import math
+    from collections import Counter
+
+    from trafilatura_spark.operators.textstats import unigram_logprob
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps near the lazy dog"),
+        (3, "zzqq wvvx kjjh pplm zzqq wvvx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert got[1].unigram_logprob > got[3].unigram_logprob
+    assert got[3].n_oov == 0  # all its tokens ARE in this tiny corpus vocab
+    # python recomputation (vocab = whole corpus here, under top_k)
+    counts = Counter(t for _, x in docs for t in x.lower().split())
+    n = sum(counts.values())
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        want = round(sum(math.log10(counts[t] / n) for t in toks) / len(toks), 6)
+        assert abs(got[doc_id].unigram_logprob - want) < 1e-9
+    # true OOV: score with a vocab CUTOFF so rare tokens fall out
+    got_cut = {r.doc_id: r for r in unigram_logprob(df, top_k=5).collect()}
+    assert got_cut[3].n_oov > 0

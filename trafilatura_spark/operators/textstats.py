@@ -551,3 +551,65 @@ def fingerprint_sql(table: str = "documents", id_col: str = "doc_id", text_col: 
     SELECT {id_col}, md5(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')) AS fp
     FROM {table}
     """
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 50_000
+) -> DataFrame:
+    """Corpus-LM quality score, the CCNet-family filter shape (Wenzek et
+    al. 2020 rank documents by LM perplexity; with no KenLM in this
+    environment the LM is the corpus's own unigram distribution): per
+    document, the mean log10 probability of its tokens under corpus
+    unigram frequencies, plus token/OOV counts.  Low scores = unusual
+    token distributions (boilerplate, non-language, encoding garbage);
+    the score is a RANKING signal, thresholds are corpus-specific.
+
+    100 TB shape: token counting is word-count (one shuffle, map-side
+    combine); the model is the TOP-K vocabulary (bounded — ~1M rows
+    broadcast; ties at the cutoff break deterministically by count desc,
+    token asc), so scoring is explode -> broadcast join -> per-doc
+    partial agg — one more doc-keyed shuffle, nothing corpus-wide.
+    OOV tokens take a 0.5-count floor probability (add-half smoothing
+    on the unseen mass; the distribution need not renormalize for a
+    ranking filter)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
+    scored = (
+        ex.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log10(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("n_total")).alias("lp"),
+            F.col("cnt").isNull().cast("int").alias("oov"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("unigram_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", top_k: int = 50_000
+) -> str:
+    "DuckDB twin of unigram_logprob (identical tokenization, cutoff ties, smoothing)."
+    return f"""
+    WITH ex AS (
+      SELECT {id_col},
+             unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS tok
+      FROM {table}
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS n_total FROM counts),
+    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {top_k})
+    SELECT e.{id_col},
+           ROUND(AVG(log10(COALESCE(v.cnt, 0.5) / t.n_total)), 6) AS unigram_logprob,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN total t
+    GROUP BY e.{id_col}
+    """

@@ -715,6 +715,13 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-family corpus-LM quality ranking: mean unigram log10
+    probability per document under the corpus's own token distribution
+    (top-k vocabulary broadcast; OOV add-half floor)."""
+    return T.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1192,6 +1199,7 @@ SPARK_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality_gopher": text_quality_gopher,
     "text_quality_repetition": text_quality_repetition,
+    "text_unigram_logprob": text_unigram_logprob,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
@@ -1260,6 +1268,7 @@ ORACLE_SQL = {
     "ann_ivf_topk": S.ivf_topk_sql(),
     "text_quality_gopher": T.quality_gopher_sql(),
     "text_quality_repetition": T.quality_repetition_sql(),
+    "text_unigram_logprob": T.unigram_logprob_sql(),
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
