@@ -677,3 +677,34 @@ def test_unigram_logprob_ranks_unusual_text_lower(spark):
     # true OOV: score with a vocab CUTOFF so rare tokens fall out
     got_cut = {r.doc_id: r for r in unigram_logprob(df, top_k=5).collect()}
     assert got_cut[3].n_oov > 0
+
+
+def test_chunk_documents_windows_and_provenance(spark):
+    """Chunking: full coverage (every token appears in some chunk),
+    overlap between consecutive chunks, short docs yield one chunk, and
+    the plan stays a shuffle-free projection."""
+    import pytest
+
+    from trafilatura_spark.operators.textstats import chunk_documents
+
+    long_text = " ".join(f"tok{i}" for i in range(100))
+    docs = [(1, long_text), (2, "only four tokens here ok")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [r for r in chunk_documents(df, chunk_tokens=40, overlap=10).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    one = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 30: windows [0:40], [30:70], [60:100] -> 3 chunks
+    assert [r.chunk_idx for r in one] == [0, 1, 2]
+    assert all(r.n_tokens == 40 for r in one)
+    assert one[0].chunk_text.split()[-10:] == one[1].chunk_text.split()[:10]  # overlap
+    covered = set()
+    for r in one:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"tok{i}" for i in range(100)}
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 5
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)

@@ -613,3 +613,78 @@ def unigram_logprob_sql(
     FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN total t
     GROUP BY e.{id_col}
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the prep step for
+    embedding / training pipelines whose models have a context budget:
+    each document becomes ceil((n - overlap) / stride) chunks of up to
+    ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk_tokens - overlap).  Output rows
+    (doc_id, chunk_idx, chunk_text, n_tokens) keep provenance for
+    dedup/lineage joins back to the source document.
+
+    100 TB shape: a pure per-document projection + explode — no shuffle,
+    no Python; chunk counts are data-proportional so the explode factor
+    is bounded by (1 + overlap/stride)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # chunks fully covered by a previous window are not re-emitted:
+    # n_chunks = 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    "DuckDB twin of chunk_documents (identical tokenization and windowing)."
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+      FROM {table}
+    ),
+    idx AS (
+      SELECT {id_col}, t, len(t) AS n,
+             unnest(range(0, 1 + CAST(ceil(GREATEST(len(t) - {chunk_tokens}, 0)
+                                           * 1.0 / {stride}) AS INT))) AS i
+      FROM toks
+    )
+    SELECT {id_col},
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(t[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' ') AS chunk_text,
+           CAST(LEAST(n - i * {stride}, {chunk_tokens}) AS INT) AS n_tokens
+    FROM idx
+    """

@@ -722,6 +722,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, 16 overlap at gate scale):
+    pure projection + explode, no shuffle — provenance columns keep
+    chunks joinable back to source documents."""
+    return T.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1200,6 +1207,7 @@ SPARK_QUERIES = {
     "text_quality_gopher": text_quality_gopher,
     "text_quality_repetition": text_quality_repetition,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_chunks": text_chunks,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "extract_documents_html": extract_documents_html,
     "extract_documents_article": extract_documents_article,
@@ -1269,6 +1277,7 @@ ORACLE_SQL = {
     "text_quality_gopher": T.quality_gopher_sql(),
     "text_quality_repetition": T.quality_repetition_sql(),
     "text_unigram_logprob": T.unigram_logprob_sql(),
+    "text_chunks": T.chunk_documents_sql(chunk_tokens=64, overlap=16),
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
