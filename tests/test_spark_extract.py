@@ -108,3 +108,21 @@ def test_timeout_guard_preemptive():
     # and without a deadline the same doc completes normally
     etext2, tier2, chars2 = extract_one(slow, DEFAULT_OPTIONS, timeout=None)
     assert tier2 != "timeout" and etext2
+
+
+def test_assemble_conversations_order_and_counts(spark):
+    """Conversation assembly: turn order preserved, NULL (discarded)
+    turns skipped but counted, one shuffle keyed by conv_id."""
+    from trafilatura_spark.operators.extract import assemble_conversations
+
+    rows = [
+        ("c1", 2, "third"), ("c1", 0, "first"), ("c1", 1, None),
+        ("c2", 0, None), ("c2", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, extracted_text string")
+    out = {r.conv_id: r for r in assemble_conversations(df).collect()}
+    assert out["c1"].conversation_text == "first\n\nthird"
+    assert out["c1"].n_turns == 3 and out["c1"].n_kept == 2
+    assert out["c2"].conversation_text == "" and out["c2"].n_kept == 0
+    plan = assemble_conversations(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the one conv_id shuffle

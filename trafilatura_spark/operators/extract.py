@@ -307,3 +307,47 @@ def extract_with_metadata(
     ]
     fn = make_extract_with_metadata_batch_fn(options, passthrough, timeout)
     return pruned.mapInPandas(fn, schema=StructType(fields))
+
+
+def assemble_conversations(
+    extracted: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "extracted_text",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Assemble per-turn extraction output back into ONE training
+    document per conversation — the last mile of the transcript
+    pipeline: turns join in ``turn_idx`` order separated by blank lines,
+    discarded turns (NULL text) are skipped but still counted, so
+    (n_turns, n_kept) records how much of the conversation survived the
+    cascade.
+
+    100 TB shape: one shuffle keyed by conv_id (the same key the
+    extraction stage already salts/partitions by, so co-location is
+    reusable); ordering happens INSIDE each group via array_sort over
+    (turn_idx, text) structs — no global sort, no window."""
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t")))
+    )
+    kept = F.filter(turns, lambda s: s["t"].isNotNull())
+    return (
+        extracted.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count(text_col).alias("n_kept"),
+            turns.alias("_turns"),
+        )
+        .select(
+            F.col(conv_col),
+            "n_turns",
+            "n_kept",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_turns"), lambda s: s["t"].isNotNull()),
+                    lambda s: s["t"],
+                ),
+                separator,
+            ).alias("conversation_text"),
+        )
+    )

@@ -1155,6 +1155,20 @@ def extract_turn_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def extract_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level training documents: the full cascade per turn,
+    then per-conversation assembly in turn order (blank-line separated,
+    discarded turns skipped but counted).  Oracle: the same assembly in
+    SQL over the pinned cascade fixture (tools/gen_cascade_fixture.py) —
+    a value match proves both the per-turn outputs AND the assembly."""
+    from .fixtures import transcripts_df
+    from .operators.extract import assemble_conversations, extract_transcripts
+
+    df = transcripts_df(spark, 120, num_slices=16)
+    out = assemble_conversations(extract_transcripts(df))
+    return out.orderBy("conv_id")
+
+
 def extract_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Pipeline metrics: per-tier row counts + chars kept (rows-only oracle)."
     out = extract_transcript_turns(spark, sf_dir)
@@ -1221,6 +1235,7 @@ SPARK_QUERIES = {
     "extract_turn_metadata": extract_turn_metadata,
     "extract_transcript_turns": extract_transcript_turns,
     "extract_tier_metrics": extract_tier_metrics,
+    "extract_conversations": extract_conversations,
 }
 
 ORACLE_SQL = {
@@ -1305,5 +1320,12 @@ ORACLE_SQL = {
     SELECT tier, COUNT(*) AS n_turns, SUM(chars_kept) AS total_chars
     FROM read_parquet('/root/repo/tests/fixtures/cascade_turns_expected.parquet')
     GROUP BY tier ORDER BY tier
+    """,
+    "extract_conversations": """
+    SELECT conv_id, COUNT(*) AS n_turns, COUNT(extracted_text) AS n_kept,
+           COALESCE(string_agg(extracted_text, chr(10) || chr(10) ORDER BY turn_idx)
+                    FILTER (WHERE extracted_text IS NOT NULL), '') AS conversation_text
+    FROM read_parquet('/root/repo/tests/fixtures/cascade_turns_expected.parquet')
+    GROUP BY conv_id
     """,
 }
