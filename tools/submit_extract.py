@@ -41,6 +41,12 @@ def main() -> int:
     ap.add_argument("--wave-size", type=int, default=16)
     ap.add_argument("--favor", choices=["precision", "recall", "balanced"], default="balanced")
     ap.add_argument("--target-lang", default=None, help="ISO code; mismatches are discarded")
+    ap.add_argument("--format", default="txt",
+                    choices=["txt", "markdown", "xml", "json", "csv", "html", "xmltei"],
+                    help="per-turn output serialization (same dispatcher as extract())")
+    ap.add_argument("--assemble", action="store_true",
+                    help="also write one training document per conversation "
+                         "(turn-ordered, discarded turns skipped) to <output>/conversations")
     args = ap.parse_args()
     if not args.input and not args.synthetic:
         ap.error("one of --input / --synthetic is required")
@@ -61,6 +67,7 @@ def main() -> int:
     options = Options(
         focus=args.favor if args.favor != "balanced" else "balanced",
         lang=args.target_lang,
+        format=args.format,
     )
     summary = run_resumable_extraction(
         spark, df, args.output,
@@ -81,6 +88,14 @@ def main() -> int:
         tier_main=int(totals.main or 0),
         discarded=int(totals.discarded or 0),
     )
+    if args.assemble:
+        from trafilatura_spark.operators.extract import assemble_conversations
+
+        conv_path = os.path.join(args.output, "conversations")
+        turns_df = spark.read.parquet(os.path.join(args.output, "data"))
+        convs = assemble_conversations(turns_df)
+        convs.write.mode("overwrite").parquet(conv_path)
+        summary.update(conversations=spark.read.parquet(conv_path).count())
     print(json.dumps(summary))
     spark.stop()
     return 0
