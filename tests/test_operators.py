@@ -708,3 +708,27 @@ def test_chunk_documents_windows_and_provenance(spark):
     assert "Exchange" not in plan and "Python" not in plan
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Splitting is a pure id-hash projection: identical across runs and
+    row orders, roughly proportional, versioned by the salt, and invalid
+    rates are rejected."""
+    import pytest
+
+    from trafilatura_spark.operators.dedup import hash_split
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.orderBy(F.desc("doc_id"))).collect()}
+    assert a == b  # row order cannot move a document between splits
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.96 <= c["train"] / 2000 <= 0.995 and c["valid"] > 0 and c["test"] > 0
+    # a different salt re-deals the assignment
+    redeal = {r.doc_id: r.split for r in hash_split(df, salt="split:v2").collect()}
+    assert redeal != a
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "valid": 0.1})
+    plan = hash_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -678,3 +678,61 @@ def benchmark_contamination_sql(
            COALESCE(h.n_hits, 0) > 0 AS contaminated
     FROM {table} d LEFT JOIN hits h USING ({id_col})
     """
+
+
+def hash_split(
+    df: DataFrame,
+    rates: dict = None,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic corpus splitting (train/valid/test) by id hash:
+    assignment depends ONLY on (salt, id), so it is stable across runs,
+    cluster sizes and row order — re-extraction or re-partitioning never
+    moves a document between splits (the property random() sampling
+    lacks).  ``rates`` maps split name -> fraction; fractions must sum
+    to 1.  A document lands in the split whose cumulative-rate interval
+    contains its hash bucket (md5 first 8 hex digits / 2^32).
+
+    100 TB shape: a pure projection — no shuffle, no sampling pass; the
+    salt versions the split (bump it to re-deal)."""
+    rates = rates or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    total = sum(rates.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split rates must sum to 1, got {total}")
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+    expr = None
+    acc = 0.0
+    for name, rate in rates.items():
+        acc += rate
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float edge: u == 1.0 cannot happen (md5/2^32 < 1), but guard anyway
+    expr = expr.otherwise(F.lit(list(rates)[-1]))
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def hash_split_sql(
+    table: str = "documents",
+    rates: dict = None,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+) -> str:
+    "DuckDB twin of hash_split (identical hash, buckets and interval edges)."
+    rates = rates or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    u = (
+        f"CAST(CAST('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) AS DOUBLE) / {float(1 << 32)}"
+    )
+    whens = []
+    acc = 0.0
+    for name, rate in rates.items():
+        acc += rate
+        whens.append(f"WHEN u < {acc!r} THEN '{name}'")
+    last = list(rates)[-1]
+    return f"""
+    SELECT {id_col}, CASE {' '.join(whens)} ELSE '{last}' END AS split
+    FROM (SELECT {id_col}, {u} AS u FROM {table})
+    """

@@ -696,6 +696,12 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def dedup_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test splitting by salted id hash (pure
+    projection; stable across runs, partitionings and cluster sizes)."""
+    return D.hash_split(_t(spark, sf_dir, "documents"), {"train": 0.8, "valid": 0.1, "test": 0.1})
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1206,6 +1212,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
     "dedup_clusters": dedup_clusters,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_hash_split": dedup_hash_split,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
@@ -1265,6 +1272,7 @@ ORACLE_SQL = {
     ),
     "dedup_clusters": D.dedup_clusters_sql(),
     "dedup_decontaminate": D.benchmark_contamination_sql(),
+    "dedup_hash_split": D.hash_split_sql(rates={"train": 0.8, "valid": 0.1, "test": 0.1}),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
