@@ -613,7 +613,11 @@ def benchmark_contamination(
     100 TB shape: the benchmark is eval-set-sized (thousands of items),
     so its distinct n-grams BROADCAST; the corpus side explodes grams
     and probes the broadcast hash join map-side — the corpus itself is
-    never shuffled.  The only exchange carries the JOIN SURVIVORS
+    never shuffled.  Both sides probe on a 60-bit md5-prefix key, not
+    the raw 13-word string: the broadcast map holds longs instead of
+    ~100-byte grams (~10x smaller), and a collision (~2^-60 per pair)
+    only ever yields a FALSE POSITIVE — the conservative direction for
+    contamination.  The only exchange carries the JOIN SURVIVORS
     (contaminated grams only, usually a vanishing fraction), partial-
     aggregated per doc before the shuffle."""
     from .textstats import _ngram_expr
@@ -621,14 +625,20 @@ def benchmark_contamination(
     def toks(col):
         return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
+    def gram_key(g):
+        # 15 hex digits = 60 bits: fits a signed BIGINT in both engines
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(_ngram_expr(toks(text_col), n)).alias("g")
+    ).select(F.col(id_col), gram_key(F.col("g")).alias("gk"))
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_expr(toks(bench_text_col), n)).alias("g"))
+        .select(gram_key(F.col("g")).alias("gk"))
+        .distinct()
     )
-    bench_grams = benchmark.select(
-        F.explode(_ngram_expr(toks(bench_text_col), n)).alias("g")
-    ).distinct()
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "g")
+        corpus_grams.join(F.broadcast(bench_grams), "gk")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -665,13 +675,17 @@ def benchmark_contamination_sql(
       FROM toks
     ),
     bench AS (
-      SELECT DISTINCT g FROM (
+      SELECT DISTINCT CAST(CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS BIGINT) AS gk
+      FROM (
         SELECT unnest(CASE WHEN len(t) >= {n} THEN {grams} ELSE [] END) AS g
         FROM toks WHERE {bench_predicate}
       )
     ),
     hits AS (
-      SELECT c.{id_col}, COUNT(*) AS n_hits FROM corpus c JOIN bench USING (g)
+      SELECT c.{id_col}, COUNT(*) AS n_hits FROM (
+        SELECT {id_col}, CAST(CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS BIGINT) AS gk
+        FROM corpus
+      ) c JOIN bench USING (gk)
       GROUP BY c.{id_col}
     )
     SELECT d.{id_col}, COALESCE(h.n_hits, 0) AS n_contaminated_grams,
