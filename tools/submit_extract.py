@@ -33,7 +33,13 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", help="parquet path with (conv_id, turn_idx, text)")
+    ap.add_argument("--input", help="input path (parquet) or catalog table (iceberg)")
+    ap.add_argument("--table-format", default="parquet", choices=["parquet", "iceberg"],
+                    help="input/output table format; iceberg needs the runtime jar "
+                         "on the classpath and reads/writes via the catalog")
+    ap.add_argument("--snapshot", default=None,
+                    help="iceberg snapshot-id for time-travel reads (pin resumed "
+                         "runs to the snapshot the first attempt saw)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate an N-conversation fixture corpus instead of --input")
     ap.add_argument("--output", required=True, help="output path (data/ + lineage manifest)")
@@ -62,7 +68,11 @@ def main() -> int:
 
         df = transcripts_df(spark, args.synthetic)
     else:
-        df = spark.read.parquet(args.input).select("conv_id", "turn_idx", "text")
+        from trafilatura_spark.sources import read_transcripts
+
+        df = read_transcripts(
+            spark, args.input, table_format=args.table_format, snapshot=args.snapshot
+        )
 
     options = Options(
         focus=args.favor if args.favor != "balanced" else "balanced",
