@@ -93,8 +93,15 @@ BENCH_QUERIES = [
     # Gopher quality rules: pure JVM projection, the cheapest per-row
     # pipeline stage — benched so the no-shuffle claim has a number
     "text_quality_gopher",
-    # Gopher repetition signals: the explode->partial-agg shape
+    # Gopher repetition signals: since round 5 a shuffle-free sorted
+    # run-walk projection (was explode->partial-agg)
     "text_quality_repetition",
+    # round-5 pipeline operators: decontamination (broadcast probe),
+    # corpus-LM ranking (wordcount + broadcast vocab), token chunking
+    # (projection+explode) — benched so their scale claims have numbers
+    "dedup_decontaminate",
+    "text_unigram_logprob",
+    "text_chunks",
 ]
 
 
