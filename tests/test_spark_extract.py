@@ -126,3 +126,29 @@ def test_assemble_conversations_order_and_counts(spark):
     assert out["c2"].conversation_text == "" and out["c2"].n_kept == 0
     plan = assemble_conversations(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # the one conv_id shuffle
+
+
+def test_operator_csv_html_tei_formats(spark):
+    """The remaining non-text formats also flow through the operator's
+    shared dispatcher: csv rows are tab-separated records, html wraps in
+    <html><body>, xmltei yields a full TEI document per turn."""
+    from trafilatura_spark.kernel import Options
+    from trafilatura_spark.operators.extract import extract_transcripts
+
+    body = "<article><h2>T</h2><p>" + "tok " * 40 + "</p></article>"
+    df = spark.createDataFrame(
+        [("c1", 0, body)], "conv_id string, turn_idx int, text string"
+    )
+    csv_row = extract_transcripts(
+        df, options=Options(format="csv", min_extracted_size=0)
+    ).collect()[0]
+    assert "\t" in csv_row.extracted_text and "tok tok" in csv_row.extracted_text
+    html_row = extract_transcripts(
+        df, options=Options(format="html", min_extracted_size=0)
+    ).collect()[0]
+    assert html_row.extracted_text.startswith("<html>")
+    tei_row = extract_transcripts(
+        df, options=Options(format="xmltei", min_extracted_size=0)
+    ).collect()[0]
+    assert tei_row.extracted_text.startswith('<TEI xmlns="http://www.tei-c.org/ns/1.0">')
+    assert '<div type="entry">' in tei_row.extracted_text
