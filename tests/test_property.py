@@ -172,3 +172,35 @@ def test_find_date_total_on_arbitrary_text(body, original):
         return
     result = find_date(tree, original_date=original, max_date="2030-12-31")
     assert result is None or (len(result) == 10 and result[4] == "-")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=120, deadline=None)
+def test_media_header_parsers_total_on_arbitrary_bytes(blob):
+    "Dimension/duration header parsers never raise, whatever the bytes."
+    from trafilatura_spark.operators.multimodal import (
+        jpeg_dimensions, mp4_duration, wav_duration,
+    )
+
+    for fn in (jpeg_dimensions, wav_duration, mp4_duration):
+        out = fn(blob)
+        assert out is None or out  # None or a truthy parsed value
+    # prefix-corrupted real headers too
+    for prefix in (b"RIFF", b"\xff\xd8", b"\x00\x00\x00\x10ftyp"):
+        for fn in (jpeg_dimensions, wav_duration, mp4_duration):
+            fn(prefix + blob)
+
+
+@given(st.text(max_size=2000))
+@settings(max_examples=100, deadline=None)
+def test_dtd_parser_bounded_failure_mode(raw):
+    """parse_dtd on arbitrary text: parses or raises ValueError — never
+    hangs (entity-expansion cycles are depth-bounded) and never escapes
+    another exception type."""
+    from trafilatura_spark.kernel.dtd import parse_dtd
+
+    try:
+        schema = parse_dtd(raw)
+    except ValueError:
+        return
+    assert schema.elements is not None
