@@ -152,3 +152,16 @@ def test_operator_csv_html_tei_formats(spark):
     ).collect()[0]
     assert tei_row.extracted_text.startswith('<TEI xmlns="http://www.tei-c.org/ns/1.0">')
     assert '<div type="entry">' in tei_row.extracted_text
+
+
+def test_assemble_conversations_role_tagging(spark):
+    "role_col prefixes each kept turn 'role: text' (chat-document format)."
+    from trafilatura_spark.operators.extract import assemble_conversations
+
+    rows = [("c1", 0, "hi", "user"), ("c1", 1, "hello", "assistant"), ("c1", 2, None, "user")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string, role string"
+    )
+    out = assemble_conversations(df, role_col="role").collect()[0]
+    assert out.conversation_text == "user: hi\n\nassistant: hello"
+    assert out.n_turns == 3 and out.n_kept == 2

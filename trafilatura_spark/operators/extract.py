@@ -315,6 +315,7 @@ def assemble_conversations(
     idx_col: str = "turn_idx",
     text_col: str = "extracted_text",
     separator: str = "\n\n",
+    role_col: str = None,
 ) -> DataFrame:
     """Assemble per-turn extraction output back into ONE training
     document per conversation — the last mile of the transcript
@@ -323,12 +324,21 @@ def assemble_conversations(
     (n_turns, n_kept) records how much of the conversation survived the
     cascade.
 
+    ``role_col`` (the transcripts schema's role column, carried through
+    extraction via passthrough_cols) prefixes each turn "role: text" —
+    the chat-style training-document format.
+
     100 TB shape: one shuffle keyed by conv_id (the same key the
     extraction stage already salts/partitions by, so co-location is
     reusable); ordering happens INSIDE each group via array_sort over
     (turn_idx, text) structs — no global sort, no window."""
+    text_expr = (
+        F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+        if role_col
+        else F.col(text_col)
+    )
     turns = F.array_sort(
-        F.collect_list(F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t")))
+        F.collect_list(F.struct(F.col(idx_col).alias("i"), text_expr.alias("t")))
     )
     kept = F.filter(turns, lambda s: s["t"].isNotNull())
     return (
