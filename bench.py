@@ -428,14 +428,23 @@ def scaling_section(n_convs: int, low: int, high: int) -> dict:
     }
 
 
-def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
+def metadata_scaling_pair(n_convs: int, low: int, high: int, ref_bw: tuple = None) -> dict:
     """N->4N efficiency of the fused content+metadata job (round-3
     VERDICT item 8: previously benched at local[32] only, its scaling
     was assumed).  Pinned symmetric interleaved 2+2 legs (best wall per
     level, same discipline as the plain section — a single pair proved
     steal-lottery: one window on either leg moves the ratio ±0.1) over
     the SAME parquet corpus as the plain legs, with its own CPU control
-    and the same bounded, audited retry rule."""
+    and the same bounded, audited retry rule.
+
+    ``ref_bw`` = (bw_low_gbs, bw_high_gbs) measured by the PLAIN section
+    minutes earlier in the same run: a window can be UNIFORMLY degraded
+    (flat spread, CPU control barely healthy) and fool every relative
+    signal — a run-3 window read 0.626 with bw_high 153 GB/s while every
+    passing section this round read 197-208.  A >15% drop of this
+    section's absolute bandwidth vs the same-run plain section is
+    therefore a fourth retry-eligibility signal (within-run relative —
+    no host constants baked in)."""
     path, n_turns = ensure_scaling_corpus(n_convs)
     results: dict = {}
     observed: dict = {low: [], high: []}
@@ -462,7 +471,15 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
     # the job's own per-level leg disagreement OR — round-5 — the
     # bandwidth probe disagreeing with itself across the window, the
     # contention mode the CPU probe cannot see)
-    unstable = hw_eff < 0.9 or max(spread_low, spread_high) > 1.15 or bw_spread > 1.15
+    bw_vs_ref = None
+    if ref_bw:
+        bw_vs_ref = round(min(bw_low / ref_bw[0], bw_high / ref_bw[1]), 3)
+    unstable = (
+        hw_eff < 0.9
+        or max(spread_low, spread_high) > 1.15
+        or bw_spread > 1.15
+        or (bw_vs_ref is not None and bw_vs_ref < 0.85)
+    )
     pre_retry_eff = _eff()
     retried = False
     if pre_retry_eff < 0.8 and unstable:
@@ -474,6 +491,8 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
         hw_eff = (hw_high / hw_low) / (high / low)
         bw_low = max(bw_low, bandwidth_throughput(low))
         bw_high = max(bw_high, bandwidth_throughput(high))
+        if ref_bw:
+            bw_vs_ref = round(min(bw_low / ref_bw[0], bw_high / ref_bw[1]), 3)
     return {
         "low_parallelism": low,
         "high_parallelism": high,
@@ -491,6 +510,7 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int) -> dict:
         "bandwidth_low_gbs": round(bw_low, 2),
         "bandwidth_high_gbs": round(bw_high, 2),
         "bandwidth_spread_high": round(bw_spread, 3),
+        "bandwidth_vs_plain_section": bw_vs_ref,
     }
 
 
@@ -550,7 +570,14 @@ def main() -> None:
         result["scaling"] = scaling_section(SCALING_CONVS, *SCALING_PAIR)
         timings["extract_scaling_low"] = result["scaling"]["wall_low"]
         timings["extract_scaling_high"] = result["scaling"]["wall_high"]
-        result["scaling_with_metadata"] = metadata_scaling_pair(SCALING_CONVS, *SCALING_PAIR)
+        result["scaling_with_metadata"] = metadata_scaling_pair(
+            SCALING_CONVS,
+            *SCALING_PAIR,
+            ref_bw=(
+                result["scaling"]["bandwidth_low_gbs"],
+                result["scaling"]["bandwidth_high_gbs"],
+            ),
+        )
         timings["extract_meta_scaling_low"] = result["scaling_with_metadata"]["wall_low"]
         timings["extract_meta_scaling_high"] = result["scaling_with_metadata"]["wall_high"]
 

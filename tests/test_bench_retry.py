@@ -126,3 +126,51 @@ def test_bandwidth_quiet_slow_job_does_not_retry(monkeypatch):
     out = mod.scaling_section(1000, 4, 16)
     assert out["retried"] is False and out["scaling_efficiency"] == 0.5
     assert out["bandwidth_spread_high"] == 1.01
+
+
+def _patch_meta(mod, walls, hw_values, monkeypatch, bw_values):
+    walls = list(walls)
+    hw_values = list(hw_values)
+    bw_values = list(bw_values)
+    monkeypatch.setattr(mod, "ensure_scaling_corpus", lambda n: ("/tmp/fake", 100_000))
+    monkeypatch.setattr(
+        mod, "_run_leg_subprocess", lambda cpus, path, n, job="plain": walls.pop(0)
+    )
+    monkeypatch.setattr(mod, "hardware_throughput", lambda n, rounds=2: hw_values.pop(0))
+    monkeypatch.setattr(mod, "bandwidth_throughput", lambda n: bw_values.pop(0))
+    return walls
+
+
+def test_uniformly_degraded_window_vs_plain_section_retries(monkeypatch):
+    """Round-5 run-3 finding: a window can be UNIFORMLY bandwidth-degraded
+    (flat spread, CPU control just above 0.9) and fool every relative
+    signal.  The metadata section now compares its absolute bandwidth to
+    the same-run plain section's: a >15% drop is retry-eligible."""
+    mod = load_bench()
+    walls = _patch_meta(
+        mod,
+        [105.0, 320.0, 106.0, 321.0, 80.0, 320.0],  # retry pair recovers high
+        [1.0, 3.9, 1.0, 3.9],
+        monkeypatch,
+        # high(pre)=150, low=55, high(post)=152: flat spread BUT well
+        # below the plain section's 65/205 reference -> unstable
+        bw_values=[150.0, 55.0, 152.0, 60.0, 200.0],
+    )
+    out = mod.metadata_scaling_pair(1000, 4, 16, ref_bw=(65.0, 205.0))
+    assert walls == []
+    assert out["retried"] is True and out["scaling_efficiency"] == 1.0
+    assert out["bandwidth_vs_plain_section"] is not None
+
+
+def test_metadata_pair_without_reference_keeps_old_rule(monkeypatch):
+    "No ref_bw (standalone invocation): the three relative signals govern."
+    mod = load_bench()
+    walls = _patch_meta(
+        mod,
+        [100.0, 320.0, 101.0, 321.0],
+        [1.0, 3.9],
+        monkeypatch,
+        bw_values=[150.0, 55.0, 152.0],
+    )
+    out = mod.metadata_scaling_pair(1000, 4, 16)
+    assert out["retried"] is False and out["bandwidth_vs_plain_section"] is None
