@@ -240,12 +240,12 @@ def _rc4_ref(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _file_key(r: int, nbits: int) -> bytes:
+def _file_key(r: int, nbits: int, pw: bytes = b"") -> bytes:
     import hashlib
     import struct
 
     n = nbits // 8
-    d = hashlib.md5(_PAD + _O + struct.pack("<i", _P) + _ID0).digest()
+    d = hashlib.md5((pw + _PAD)[:32] + _O + struct.pack("<i", _P) + _ID0).digest()
     if r >= 3:
         for _ in range(50):
             d = hashlib.md5(d[:n]).digest()
@@ -272,9 +272,12 @@ def _obj_key(key: bytes, num: int, gen: int) -> bytes:
     ).digest()[: min(len(key) + 5, 16)]
 
 
-def build_encrypted_pdf(content: bytes, r: int = 3, nbits: int = 128, corrupt_u: bool = False) -> bytes:
-    "Single-page PDF whose content stream is RC4-encrypted (empty user pw)."
-    key = _file_key(r, nbits)
+def build_encrypted_pdf(
+    content: bytes, r: int = 3, nbits: int = 128, corrupt_u: bool = False,
+    password: bytes = b"",
+) -> bytes:
+    "Single-page PDF whose content stream is RC4-encrypted under ``password``."
+    key = _file_key(r, nbits, password)
     body = _rc4_ref(_obj_key(key, 4, 0), zlib.compress(content))
     u = bytearray(_u_value(key, r))
     if corrupt_u:
@@ -479,8 +482,10 @@ def test_aesv2_empty_password_pdf_decrypts():
     assert decryption_key(build_aesv2_pdf(CONTENT, corrupt_u=True)) is None
 
 
-def build_aes256_pdf(r: int, content: bytes, wrong_pw: bool = False) -> bytes:
-    "AES-256 AESV3 (/V 5, /R 5 or 6) single-page PDF, empty user password."
+def build_aes256_pdf(
+    r: int, content: bytes, wrong_pw: bool = False, password: bytes = b""
+) -> bytes:
+    "AES-256 AESV3 (/V 5, /R 5 or 6) single-page PDF under ``password``."
     import hashlib
 
     from trafilatura_spark.kernel.aescipher import cbc_encrypt
@@ -489,11 +494,11 @@ def build_aes256_pdf(r: int, content: bytes, wrong_pw: bool = False) -> bytes:
     key = bytes(range(200, 232))  # the 32-byte file key being wrapped
     vsalt, ksalt = b"VALSALT8", b"KEYSALT8"
     if r == 6:
-        uhash = _hash_2b(b"", vsalt)
-        ik = _hash_2b(b"", ksalt)
+        uhash = _hash_2b(password, vsalt)
+        ik = _hash_2b(password, ksalt)
     else:
-        uhash = hashlib.sha256(vsalt).digest()
-        ik = hashlib.sha256(ksalt).digest()
+        uhash = hashlib.sha256(password + vsalt).digest()
+        ik = hashlib.sha256(password + ksalt).digest()
     if wrong_pw:
         uhash = bytes(b ^ 0xFF for b in uhash[:1]) + uhash[1:]
     u = uhash + vsalt + ksalt
@@ -711,3 +716,36 @@ def test_two_column_multipage_single_stream_pages_not_interleaved():
         rights = [pos["p%d right row %d words too" % (page, i)] for i in range(5)]
         assert lefts == sorted(lefts) and rights == sorted(rights)
         assert max(lefts) < min(rights)
+
+
+def test_rc4_real_user_password_opens_with_supplied_password():
+    """Round-5: real-password PDFs open when the job supplies the USER
+    password (Options.pdf_password — one per job run); the empty default
+    still refuses them to tier='pdf_encrypted', and a wrong password
+    refuses too (never key-stream garbage)."""
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_encrypted_pdf(CONTENT, r=3, nbits=128, password=b"hunter2")
+    assert decryption_key(pdf) is None  # empty password does not verify
+    crypt = decryption_key(pdf, b"hunter2")
+    assert crypt is not None and not crypt.aes
+    assert "Hello PDF world." in extract_pdf_text(pdf, crypt)
+    res = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="hunter2"))
+    assert res.tier == "pdf" and "Kerned array text." in res.text
+    wrong = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="wrong"))
+    assert wrong.text is None and wrong.tier == "pdf_encrypted"
+    default = bare_extract(pdf, Options(min_extracted_size=0))
+    assert default.tier == "pdf_encrypted"
+
+
+def test_aes256_r6_real_user_password_opens():
+    "AES-256 /R 6 under a real password: Algorithm 2.B runs on the supplied pw."
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    pdf = build_aes256_pdf(6, CONTENT, password=b"s3cret")
+    assert decryption_key(pdf) is None
+    crypt = decryption_key(pdf, b"s3cret")
+    assert crypt is not None and crypt.aes and len(crypt.key) == 32
+    assert "Hello PDF world." in extract_pdf_text(pdf, crypt)
+    res = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="s3cret"))
+    assert res.tier == "pdf"

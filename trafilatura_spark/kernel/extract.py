@@ -310,7 +310,7 @@ def bare_extract(filecontent: Any, options: Options = DEFAULT_OPTIONS) -> Extrac
             # down — /R 6 Algorithm 2.B costs thousands of AES block ops
             crypt = None
             if is_encrypted(filecontent):
-                crypt = decryption_key(filecontent)
+                crypt = decryption_key(filecontent, options.pdf_password)
                 if crypt is None:
                     return ExtractionResult(None, "pdf_encrypted", 0, 0)
             info = extract_pdf_info(filecontent, crypt)

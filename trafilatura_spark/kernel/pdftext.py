@@ -173,13 +173,16 @@ def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     return k[:32]
 
 
-def decryption_key(payload: Union[bytes, str]) -> Optional[PdfCrypt]:
-    """File encryption for a standard-security-handler PDF whose USER
-    password is empty (permissions-only encryption — the overwhelmingly
-    common case), verified against /U.  Handles RC4 (/V 1-2, /R 2-3),
-    AES-128 AESV2 (/V 4, /R 4) and AES-256 AESV3 (/V 5, /R 5-6).  None
-    when the file needs a real password or the encrypt dictionary is
-    unreadable — callers label those tier='pdf_encrypted'.
+def decryption_key(
+    payload: Union[bytes, str], password: Union[bytes, str] = b""
+) -> Optional[PdfCrypt]:
+    """File encryption key for a standard-security-handler PDF, verified
+    against /U with the supplied USER ``password`` (default empty —
+    permissions-only encryption, the overwhelmingly common case).
+    Handles RC4 (/V 1-2, /R 2-3), AES-128 AESV2 (/V 4, /R 4) and AES-256
+    AESV3 (/V 5, /R 5-6).  None when the password does not verify or the
+    encrypt dictionary is unreadable — callers label those
+    tier='pdf_encrypted'.
 
     RC4/AESV2 key derivation is Algorithm 2: md5(pad + O + P as
     le-int32 + ID[0] [+ ffffffff when /EncryptMetadata false]), 50
@@ -190,6 +193,7 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[PdfCrypt]:
     import struct
 
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
+    pw = password.encode("utf-8") if isinstance(password, str) else (password or b"")
     try:
         ref = _ENCRYPT_RE.search(data)
         if not ref:
@@ -223,14 +227,17 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[PdfCrypt]:
             if not ue or len(u) < 48:
                 return None
             vsalt, ksalt = u[32:40], u[40:48]
+            # /R 5-6 SASLprep is out of scope: pw bytes are used as given
+            # (ASCII passwords — the practical corpus case — are identical
+            # under SASLprep)
             if r == 6:
-                if _hash_2b(b"", vsalt) != u[:32]:
+                if _hash_2b(pw, vsalt) != u[:32]:
                     return None
-                ik = _hash_2b(b"", ksalt)
+                ik = _hash_2b(pw, ksalt)
             else:
-                if hashlib.sha256(vsalt).digest() != u[:32]:
+                if hashlib.sha256(pw + vsalt).digest() != u[:32]:
                     return None
-                ik = hashlib.sha256(ksalt).digest()
+                ik = hashlib.sha256(pw + ksalt).digest()
             key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])[:32]
             return PdfCrypt(key, aes=True, salted=False)
 
@@ -255,12 +262,15 @@ def decryption_key(payload: Union[bytes, str]) -> Optional[PdfCrypt]:
             if idm:
                 id0, _ = _parse_literal(data, idm.end() - 1)
         n = max(5, min(nbits // 8, 16))
-        digest = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
+        # Algorithm 2: the user password is padded/truncated to 32 bytes
+        # with the standard pad string (empty pw == the pad itself)
+        padded = (pw + _PAD)[:32]
+        digest = hashlib.md5(padded + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
         if r >= 3:
             for _ in range(50):
                 digest = hashlib.md5(digest[:n]).digest()
         key = digest[:n] if r >= 3 else digest[:5]
-        # verify the empty USER password against /U
+        # verify the USER password against /U
         if r == 2:
             ok = _rc4(key, _PAD)[:16] == u[:16]
         else:

@@ -62,6 +62,11 @@ class Options:
     date_max: Optional[str] = None
     url: Optional[str] = None
     with_metadata: bool = False
+    # user password for standard-security PDFs (kernel/pdftext.py);
+    # the empty default covers permissions-only encryption — the
+    # overwhelmingly common case.  One fixed password per job run
+    # (corpora of same-publisher PDFs share one), not per document.
+    pdf_password: str = ""
     # sizes (settings.cfg:26-33)
     min_extracted_size: int = 250
     min_output_size: int = 1
