@@ -749,3 +749,52 @@ def test_aes256_r6_real_user_password_opens():
     assert "Hello PDF world." in extract_pdf_text(pdf, crypt)
     res = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="s3cret"))
     assert res.tier == "pdf"
+
+
+def test_rc4_owner_password_recovers_user_key():
+    """Algorithm 7: the OWNER password decrypts /O back into the padded
+    user password, which re-enters Algorithm 2 — so a job knowing only
+    the owner password still opens the file.  Fixture built with an
+    independent RC4 and a REAL /O (user pw 'hunter2', owner pw 'admin'),
+    unlike the other fixtures' arbitrary /O bytes."""
+    import hashlib
+    import struct
+
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    user_pw, owner_pw = b"hunter2", b"admin"
+    r, nbits = 3, 128
+    n = nbits // 8
+    # Algorithm 3: /O from the owner password
+    od = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    for _ in range(50):
+        od = hashlib.md5(od[:n]).digest()
+    okey = od[:n]
+    o_val = (user_pw + _PAD)[:32]
+    for i in range(20):
+        o_val = _rc4_ref(bytes(b ^ i for b in okey), o_val)
+    # Algorithm 2: file key from the USER password + the real /O
+    d = hashlib.md5((user_pw + _PAD)[:32] + o_val + struct.pack("<i", _P) + _ID0).digest()
+    for _ in range(50):
+        d = hashlib.md5(d[:n]).digest()
+    key = d[:n]
+    u_val = _u_value(key, r)
+    body = _rc4_ref(_obj_key(key, 4, 0), zlib.compress(CONTENT))
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(_P).encode()
+        + b" /O <" + o_val.hex().encode() + b">"
+        + b" /U <" + u_val.hex().encode() + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<" + _ID0.hex().encode()
+        + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+    assert decryption_key(pdf) is None                      # empty pw: locked
+    assert decryption_key(pdf, b"wrong") is None
+    for pw in (user_pw, owner_pw):                          # either unlocks
+        crypt = decryption_key(pdf, pw)
+        assert crypt is not None and crypt.key == key
+    res = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="admin"))
+    assert res.tier == "pdf" and "Hello PDF world." in res.text

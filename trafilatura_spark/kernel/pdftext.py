@@ -262,24 +262,46 @@ def decryption_key(
             if idm:
                 id0, _ = _parse_literal(data, idm.end() - 1)
         n = max(5, min(nbits // 8, 16))
-        # Algorithm 2: the user password is padded/truncated to 32 bytes
-        # with the standard pad string (empty pw == the pad itself)
-        padded = (pw + _PAD)[:32]
-        digest = hashlib.md5(padded + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
-        if r >= 3:
-            for _ in range(50):
-                digest = hashlib.md5(digest[:n]).digest()
-        key = digest[:n] if r >= 3 else digest[:5]
-        # verify the USER password against /U
-        if r == 2:
-            ok = _rc4(key, _PAD)[:16] == u[:16]
-        else:
-            t = hashlib.md5(_PAD + id0).digest()
-            t = _rc4(key, t)
-            for i in range(1, 20):
-                t = _rc4(bytes(b ^ i for b in key), t)
-            ok = t[:16] == u[:16]
-        return PdfCrypt(key, aes=aes, salted=True) if ok else None
+
+        def user_key(padded_user: bytes) -> Optional[bytes]:
+            # Algorithm 2 from a 32-byte padded user password, verified
+            # against /U (Algorithm 6)
+            digest = hashlib.md5(
+                padded_user + o[:32] + struct.pack("<i", p) + id0 + extra
+            ).digest()
+            if r >= 3:
+                for _ in range(50):
+                    digest = hashlib.md5(digest[:n]).digest()
+            key = digest[:n] if r >= 3 else digest[:5]
+            if r == 2:
+                ok = _rc4(key, _PAD)[:16] == u[:16]
+            else:
+                t = hashlib.md5(_PAD + id0).digest()
+                t = _rc4(key, t)
+                for i in range(1, 20):
+                    t = _rc4(bytes(b ^ i for b in key), t)
+                ok = t[:16] == u[:16]
+            return key if ok else None
+
+        # the supplied password is tried as the USER password first
+        key = user_key((pw + _PAD)[:32])
+        if key is None and pw:
+            # ...then as the OWNER password (Algorithm 7): the RC4 key
+            # from the padded owner password decrypts /O back into the
+            # PADDED USER password, which re-enters Algorithm 2
+            od = hashlib.md5((pw + _PAD)[:32]).digest()
+            if r >= 3:
+                for _ in range(50):
+                    od = hashlib.md5(od[:n]).digest()
+            okey = od[:n] if r >= 3 else od[:5]
+            dec = o[:32]
+            if r == 2:
+                dec = _rc4(okey, dec)
+            else:
+                for i in range(19, -1, -1):
+                    dec = _rc4(bytes(b ^ i for b in okey), dec)
+            key = user_key(dec)
+        return PdfCrypt(key, aes=aes, salted=True) if key else None
     except Exception:
         return None
 
