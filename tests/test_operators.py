@@ -672,11 +672,39 @@ def test_unigram_logprob_ranks_unusual_text_lower(spark):
     n = sum(counts.values())
     for doc_id, text in docs:
         toks = text.lower().split()
-        want = round(sum(math.log10(counts[t] / n) for t in toks) / len(toks), 6)
+        # mirror the operator's fixed-point arithmetic: per-distinct-token
+        # log-prob rounded to 9 dp, weighted exact sum, divide, round 6
+        want = round(
+            sum(round(math.log10(counts[t] / n), 9) for t in toks) / len(toks), 6
+        )
         assert abs(got[doc_id].unigram_logprob - want) < 1e-9
     # true OOV: score with a vocab CUTOFF so rare tokens fall out
     got_cut = {r.doc_id: r for r in unigram_logprob(df, top_k=5).collect()}
     assert got_cut[3].n_oov > 0
+
+
+def test_unigram_logprob_bit_deterministic_across_partitionings(spark):
+    """The r5 driver-red row was partition-order nondeterminism in
+    AVG(double).  The DECIMAL-sum rewrite must yield BIT-identical
+    doubles no matter how the input is partitioned."""
+    from trafilatura_spark.operators.textstats import unigram_logprob
+
+    # many docs sharing a long-tail vocabulary so per-doc sums have
+    # enough terms for order to matter if the arithmetic were floating
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j * 13) % 97}" for j in range(50)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {
+        r.doc_id: (repr(r.unigram_logprob), r.n_tokens, r.n_oov)
+        for r in unigram_logprob(df.repartition(1)).collect()
+    }
+    b = {
+        r.doc_id: (repr(r.unigram_logprob), r.n_tokens, r.n_oov)
+        for r in unigram_logprob(df.repartition(37, "text")).collect()
+    }
+    assert a == b
 
 
 def test_chunk_documents_windows_and_provenance(spark):

@@ -31,7 +31,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        # Exact (shortest round-trip) representation: the driver's gate
+        # hashes exact values, and a 6-dp format here masked the r5
+        # text_unigram_logprob partition-order nondeterminism.  -0.0
+        # normalizes to 0.0 so a signed zero can't fail the gate alone.
+        return repr(v + 0.0 if v == 0.0 else v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -69,8 +73,12 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
+    # The driver only sees entry.queries() (kept at <= its 50-row sample
+    # window); the retired validation-only entries stay gated HERE.
+    from trafilatura_spark.queries import VALIDATION_ORACLE_SQL, VALIDATION_QUERIES
+
+    queries = {**entry.queries(), **VALIDATION_QUERIES}
+    oracles = {**entry.oracle_sql(), **VALIDATION_ORACLE_SQL}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

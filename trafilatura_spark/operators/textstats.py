@@ -567,51 +567,86 @@ def unigram_logprob(
     100 TB shape: token counting is word-count (one shuffle, map-side
     combine); the model is the TOP-K vocabulary (bounded — ~1M rows
     broadcast; ties at the cutoff break deterministically by count desc,
-    token asc), so scoring is explode -> broadcast join -> per-doc
-    partial agg — one more doc-keyed shuffle, nothing corpus-wide.
-    OOV tokens take a 0.5-count floor probability (add-half smoothing
-    on the unseen mass; the distribution need not renormalize for a
-    ranking filter)."""
+    token asc), so scoring is (doc, tok) partial counts -> broadcast
+    join -> per-doc agg — one more doc-keyed shuffle, nothing
+    corpus-wide.  OOV tokens take a 0.5-count floor probability
+    (add-half smoothing on the unseen mass; the distribution need not
+    renormalize for a ranking filter).
+
+    BIT-DETERMINISM (driver hash gate): a plain AVG of doubles sums in
+    partition order and is therefore nondeterministic at the last ulp.
+    Instead each DISTINCT token's log-prob is computed once from integer
+    counts, rounded to 9 dp, and carried as DECIMAL(20,9); the per-doc
+    score is sum(doc_cnt * lp) as DECIMAL — exact and associative, so
+    partitioning cannot change it — then one double divide + round(6).
+    The DuckDB twin mirrors the same fixed-point arithmetic."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tok = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("doc_cnt"))
+    counts = doc_tok.groupBy("tok").agg(F.sum("doc_cnt").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("n_total"))
     vocab = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_k)
-    scored = (
-        ex.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col(id_col),
-            F.log10(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("n_total")).alias("lp"),
-            F.col("cnt").isNull().cast("int").alias("oov"),
-        )
+    lp_vocab = vocab.crossJoin(total).select(
+        "tok",
+        F.round(F.log10(F.col("cnt") / F.col("n_total")), 9)
+        .cast("decimal(20,9)")
+        .alias("lp"),
     )
+    oov_lp = total.select(
+        F.round(F.log10(F.lit(0.5) / F.col("n_total")), 9)
+        .cast("decimal(20,9)")
+        .alias("oov_lp")
+    )
+    scored = doc_tok.join(F.broadcast(lp_vocab), "tok", "left").crossJoin(
+        F.broadcast(oov_lp)
+    )
+    # doc_cnt as decimal(10,0): a long operand would push the product past
+    # precision 38 and Spark's precision-loss rule silently truncates the
+    # scale to 6 — decimal(10,0) * decimal(20,9) stays exact at (31,9).
+    dcnt = F.col("doc_cnt").cast("decimal(10,0)")
     return scored.groupBy(id_col).agg(
-        F.round(F.avg("lp"), 6).alias("unigram_logprob"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("oov").alias("n_oov"),
+        F.round(
+            F.sum(dcnt * F.coalesce(F.col("lp"), F.col("oov_lp"))).cast("double")
+            / F.sum("doc_cnt"),
+            6,
+        ).alias("unigram_logprob"),
+        F.sum("doc_cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("lp").isNull(), F.col("doc_cnt")).otherwise(F.lit(0))).alias(
+            "n_oov"
+        ),
     )
 
 
 def unigram_logprob_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text", top_k: int = 50_000
 ) -> str:
-    "DuckDB twin of unigram_logprob (identical tokenization, cutoff ties, smoothing)."
+    """DuckDB twin of unigram_logprob (identical tokenization, cutoff ties,
+    smoothing, and the same DECIMAL(20,9) fixed-point per-token log-probs
+    so the exact sum matches Spark's bit-for-bit)."""
     return f"""
     WITH ex AS (
       SELECT {id_col},
              unnest(regexp_split_to_array(lower(trim({text_col})), '\\s+')) AS tok
       FROM {table}
     ),
-    counts AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+    doc_tok AS (SELECT {id_col}, tok, COUNT(*) AS doc_cnt FROM ex GROUP BY {id_col}, tok),
+    counts AS (SELECT tok, SUM(doc_cnt) AS cnt FROM doc_tok GROUP BY tok),
     total AS (SELECT SUM(cnt) AS n_total FROM counts),
-    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {top_k})
-    SELECT e.{id_col},
-           ROUND(AVG(log10(COALESCE(v.cnt, 0.5) / t.n_total)), 6) AS unigram_logprob,
-           COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS n_oov
-    FROM ex e LEFT JOIN vocab v USING (tok) CROSS JOIN total t
-    GROUP BY e.{id_col}
+    vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {top_k}),
+    lp_vocab AS (
+      SELECT tok, CAST(ROUND(log10(cnt / n_total), 9) AS DECIMAL(20,9)) AS lp
+      FROM vocab CROSS JOIN total
+    ),
+    oov AS (
+      SELECT CAST(ROUND(log10(0.5 / n_total), 9) AS DECIMAL(20,9)) AS oov_lp FROM total
+    )
+    SELECT d.{id_col},
+           ROUND(CAST(SUM(CAST(d.doc_cnt AS DECIMAL(10,0)) * COALESCE(l.lp, o.oov_lp)) AS DOUBLE)
+                 / SUM(d.doc_cnt), 6) AS unigram_logprob,
+           CAST(SUM(d.doc_cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN l.lp IS NULL THEN d.doc_cnt ELSE 0 END) AS BIGINT) AS n_oov
+    FROM doc_tok d LEFT JOIN lp_vocab l USING (tok) CROSS JOIN oov o
+    GROUP BY d.{id_col}
     """
 
 
