@@ -172,6 +172,15 @@ def test_media_durations_real_header_parse(spark):
     assert wav_duration(_wav(2.5)) == 2.5
     assert wav_duration(b"RIFFxxxxNOPE") is None
     assert wav_duration(b"junk") is None
+    # truncated INSIDE the fmt chunk: byte_rate would be read from a short
+    # slice (tiny bogus rate -> huge wrong duration) — must be None (ADVICE r5)
+    full = _wav(2.5)
+    assert wav_duration(full[:30]) is None  # fmt chunk header present, body cut
+    import struct as _s
+    tiny_fmt = (b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+                + b"fmt " + _s.pack("<I", 8) + b"\x00" * 8  # fmt declares only 8 bytes
+                + b"\x00" * 12)  # trailing bytes so only the size guard can reject
+    assert wav_duration(tiny_fmt) is None
     assert mp4_duration(_mp4(90_000, 1000)) == 90.0
     assert mp4_duration(_mp4(48_000 * 60, 48_000, version=1)) == 60.0
     assert mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00") is None

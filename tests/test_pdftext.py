@@ -689,6 +689,39 @@ def test_single_column_tm_page_not_flagged():
     assert res.tier == "pdf" and len(res.text.splitlines()) == 8
 
 
+def test_sub_threshold_jumps_across_streams_not_mislabeled():
+    """Two streams with 3 column jumps EACH (sub-threshold per stream,
+    6 summed) must NOT be labeled multi_column: reconstruction only runs
+    per-stream at >= 4 jumps, and the label must track whether it
+    actually ran — summing across streams previously set the label on
+    text left in interleaved stream order (ADVICE r5)."""
+
+    def block(tag: bytes) -> bytes:
+        rows = []
+        y = 700
+        for i in range(2):
+            rows.append(b"1 0 0 1 72 %d Tm (%s left r%d words here) Tj " % (y, tag, i))
+            rows.append(b"1 0 0 1 330 %d Tm (%s right r%d words too) Tj " % (y, tag, i))
+            y -= 14
+        return b"BT /F1 10 Tf " + b"".join(rows) + b"ET"
+
+    c1, c2 = block(b"s1"), block(b"s2")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"8 0 obj << /Length " + str(len(c1)).encode() + b" >>\n"
+        b"stream\n" + c1 + b"\nendstream\nendobj\n"
+        b"9 0 obj << /Length " + str(len(c2)).encode() + b" >>\n"
+        b"stream\n" + c2 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    from trafilatura_spark.kernel.pdftext import extract_pdf_info
+
+    info = extract_pdf_info(pdf)
+    assert not info.multi_column
+    assert "s1 left r0 words here" in info.text and "s2 right r1 words too" in info.text
+    res = bare_extract(pdf, Options(min_extracted_size=0))
+    assert res.tier == "pdf"
+
+
 def test_two_column_multipage_single_stream_pages_not_interleaved():
     """A single content stream carrying TWO row-major two-column pages:
     the y-reset between pages splits the reconstruction into page groups,
@@ -749,6 +782,21 @@ def test_aes256_r6_real_user_password_opens():
     assert "Hello PDF world." in extract_pdf_text(pdf, crypt)
     res = bare_extract(pdf, Options(min_extracted_size=0, pdf_password="s3cret"))
     assert res.tier == "pdf"
+
+
+def test_aes256_password_truncated_to_127_bytes():
+    """ISO 32000-2 7.6.4.3.3: the UTF-8 password is truncated to 127
+    bytes before the /V 5 hashes — a conforming writer hashes only the
+    first 127 bytes, so a reader given the full >127-byte password must
+    still open the file (ADVICE r5)."""
+    from trafilatura_spark.kernel.pdftext import decryption_key
+
+    long_pw = b"x" * 150
+    # writer side hashes the truncated password (spec-conforming)
+    pdf = build_aes256_pdf(6, CONTENT, password=long_pw[:127])
+    crypt = decryption_key(pdf, long_pw)
+    assert crypt is not None and crypt.aes and len(crypt.key) == 32
+    assert "Hello PDF world." in extract_pdf_text(pdf, crypt)
 
 
 def test_rc4_owner_password_recovers_user_key():

@@ -165,3 +165,18 @@ def test_assemble_conversations_role_tagging(spark):
     out = assemble_conversations(df, role_col="role").collect()[0]
     assert out.conversation_text == "user: hi\n\nassistant: hello"
     assert out.n_turns == 3 and out.n_kept == 2
+
+
+def test_assemble_conversations_null_role_keeps_turn(spark):
+    """A turn with non-NULL text but NULL role must survive assembly as
+    bare text (concat null-propagation previously dropped it from the
+    document while n_kept still counted it — ADVICE r5)."""
+    from trafilatura_spark.operators.extract import assemble_conversations
+
+    rows = [("c1", 0, "hi", "user"), ("c1", 1, "orphan line", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string, role string"
+    )
+    out = assemble_conversations(df, role_col="role").collect()[0]
+    assert out.conversation_text == "user: hi\n\norphan line"
+    assert out.n_turns == 2 and out.n_kept == 2

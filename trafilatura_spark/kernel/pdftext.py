@@ -229,7 +229,11 @@ def decryption_key(
             vsalt, ksalt = u[32:40], u[40:48]
             # /R 5-6 SASLprep is out of scope: pw bytes are used as given
             # (ASCII passwords — the practical corpus case — are identical
-            # under SASLprep)
+            # under SASLprep).  ISO 32000-2 7.6.4.3.3 DOES require the
+            # UTF-8 password be truncated to 127 bytes before Algorithm
+            # 2.A/2.B hashing — conforming readers accept >127-byte
+            # passwords by ignoring the tail (ADVICE r5).
+            pw = pw[:127]
             if r == 6:
                 if _hash_2b(pw, vsalt) != u[:32]:
                     return None
@@ -828,7 +832,7 @@ def extract_pdf_info(
     data = payload.encode("latin-1", errors="replace") if isinstance(payload, str) else payload
     lines: List[str] = []
     unmapped = False
-    col_jumps = 0
+    multi_column = False
     try:
         key = crypt
         if key is None and is_encrypted(data):
@@ -856,8 +860,12 @@ def extract_pdf_info(
                 content, fonts, nomap
             )
             unmapped = unmapped or stream_unmapped
-            col_jumps += stream_jumps
+            # the multi_column flag tracks whether reconstruction actually
+            # RAN (per-stream threshold), not jumps summed across streams:
+            # a 2+2 split over two streams previously set the label while
+            # the text stayed in interleaved stream order (ADVICE r5)
             if stream_jumps >= _COL_SUSPECT_JUMPS and spans:
+                multi_column = True
                 # row-major multi-column stream: rebuild reading order
                 # column-by-column from the positioned spans (per stream
                 # = per page in the common layout) instead of emitting
@@ -871,9 +879,7 @@ def extract_pdf_info(
                         lines.append(text.strip())
     except Exception:
         return PdfTextInfo("", False, False)
-    return PdfTextInfo(
-        "\n".join(lines), unmapped, col_jumps >= _COL_SUSPECT_JUMPS
-    )
+    return PdfTextInfo("\n".join(lines), unmapped, multi_column)
 
 
 def extract_pdf_text(payload: Union[bytes, str], crypt: Optional[PdfCrypt] = None) -> str:

@@ -332,15 +332,21 @@ def assemble_conversations(
     extraction stage already salts/partitions by, so co-location is
     reusable); ordering happens INSIDE each group via array_sort over
     (turn_idx, text) structs — no global sort, no window."""
+    # A NULL role must not null out a kept turn via concat's
+    # null-propagation (n_kept counts non-null TEXT, so the assembled
+    # document would silently lose a counted turn): fall back to the
+    # bare text when the role is missing.
     text_expr = (
-        F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+        F.when(
+            F.col(role_col).isNotNull(),
+            F.concat(F.col(role_col), F.lit(": "), F.col(text_col)),
+        ).otherwise(F.col(text_col))
         if role_col
         else F.col(text_col)
     )
     turns = F.array_sort(
         F.collect_list(F.struct(F.col(idx_col).alias("i"), text_expr.alias("t")))
     )
-    kept = F.filter(turns, lambda s: s["t"].isNotNull())
     return (
         extracted.groupBy(conv_col)
         .agg(

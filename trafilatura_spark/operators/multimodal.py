@@ -282,7 +282,11 @@ def wav_duration(payload: bytes):
         while i + 8 <= n:
             cid = payload[i : i + 4]
             size = int.from_bytes(payload[i + 4 : i + 8], "little")
-            if cid == b"fmt " and i + 16 <= n:
+            # byte_rate is read from payload[i+16:i+20], so the file must
+            # reach i+20 (and the fmt chunk itself must declare >= 12
+            # bytes) — a truncated fmt chunk otherwise yields a short
+            # slice, a tiny bogus byte_rate, and a huge wrong duration
+            if cid == b"fmt " and i + 20 <= n and size >= 12:
                 byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
             elif cid == b"data":
                 data_size = size
