@@ -537,3 +537,129 @@ def test_find_date_canonical_link_url_rung():
     assert find_date(doc2) == "2019-07-02"
     # an explicit caller URL takes precedence over the declarations
     assert find_date(doc, url="http://ex.org/2013/01/09/other/") == "2013-01-09"
+
+
+def test_find_date_single_itemprop_beats_sidebar_times():
+    """Round-6 date residual (multi-<time> sidebar class): comment/aside
+    <time> elements in document order must not outrank a page-unique
+    itemprop=datePublished microdata stamp (eval case taz.de — comment
+    timestamps one day after the <li itemprop="datePublished"> stamp)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><body>"
+        '<ul><li class="date" itemprop="datePublished" content="2020-01-13T18:54:00+01:00">13. 1. 2020</li></ul>'
+        "<article><p>text</p></article>"
+        '<section class="comments">'
+        '<time datetime="2020-01-14T13:47:02+01:00">14. 01. 2020</time>'
+        '<time datetime="2020-01-14T20:29:22+01:00">14. 01. 2020</time>'
+        "</section></body></html>"
+    )
+    assert find_date(doc) == "2020-01-13"
+
+
+def test_find_date_ambiguous_itemprop_falls_through():
+    """Multiple DISTINCT itemprop=datePublished values = a related-article
+    rail (eval case madame.lefigaro); the rung must not pick the first
+    card but fall through to the later rungs (here: the <time> element)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><body>"
+        '<div class="related"><span itemprop="datePublished" content="2020-02-19"></span>'
+        '<span itemprop="datePublished" content="2019-02-12"></span></div>'
+        '<time datetime="2017-04-11T10:00:00+02:00">11 avril 2017</time>'
+        "</body></html>"
+    )
+    assert find_date(doc) == "2017-04-11"
+
+
+def test_find_date_jsonld_published_beats_earlier_created():
+    """datePublished outranks dateCreated ACROSS script blocks: a liveblog
+    stamps dateCreated per sub-item before the article's datePublished
+    (eval case lanacion); script order must not decide."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><head>"
+        '<script type="application/ld+json">{"@type":"LiveBlogPosting",'
+        '"dateCreated": "Tue, 03 May 2022 23:53:14 GMT"}</script>'
+        '<script type="application/ld+json">{"@type":"NewsArticle",'
+        '"datePublished": "Wed, 04 May 2022 00:25:56 GMT"}</script>'
+        "</head><body><p>x</p></body></html>"
+    )
+    assert find_date(doc) == "2022-05-04"
+
+
+def test_find_date_video_upload_date_ignored():
+    """A VideoObject uploadDate stamps the embedded video, not the page
+    (eval case giga.de: 2015 video inside a 2017 article) — the article's
+    own <time> must win."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><head>"
+        '<script type="application/ld+json">{"@type":"VideoObject",'
+        '"uploadDate": "2015-01-16T14:53:35+01:00"}</script>'
+        "</head><body>"
+        '<time datetime="2017-12-01T12:01:11+01:00">01. Dez. 2017</time>'
+        "</body></html>"
+    )
+    assert find_date(doc) == "2017-12-01"
+
+
+def test_find_date_byline_beats_modified_meta_for_original():
+    """htmldate with original_date=True skips modified metas in
+    examine_meta entirely, so a byline date in the text outranks
+    article:modified_time (eval case pferderevue); with
+    original_date=False the modified stamp wins as before."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><head>"
+        '<meta property="article:modified_time" content="2022-02-04T13:54:21+01:00"/>'
+        "</head><body><p>Artikel von <strong>X</strong> | 27.01.2022 - 12:45</p></body></html>"
+    )
+    assert find_date(doc) == "2022-01-27"
+    assert find_date(doc, original_date=False) == "2022-02-04"
+
+
+def test_find_date_free_text_sees_element_boundaries_and_attrs():
+    """The free-text rung scans raw-source-equivalent text: element
+    boundaries separate tokens that text_content() glues ('Alfeld' +
+    '2. Oktober 2015' — eval case denkmalpraxismoderne), and publish
+    stamps in script bodies / content= attributes vote too (eval case
+    badische-zeitung's dataLayer publishtime)."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><body>"
+        "<strong>Alfeld</strong><span class='news-time'>2. Oktober 2015 - 12:33</span>"
+        "<strong>Berlin</strong><span class='news-time'>2. Oktober 2015 - 12:29</span>"
+        "</body></html>"
+    )
+    assert find_date(doc) == "2015-10-02"
+
+
+def test_find_date_rdfa_property_on_span():
+    """Drupal-family RDFa: <span property="dc:date" content=...> carries
+    the publication stamp with the rung-1 vocabulary but on a non-meta
+    element (eval case lostiempos); it must outrank a date-classed
+    element whose text holds an ambiguous DD/MM slash date."""
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.metadata import find_date
+
+    doc = load_html(
+        "<html><body>"
+        '<div class="date-box">03/05/2022</div>'
+        '<span class="date-display-single" property="dc:date" datatype="xsd:dateTime"'
+        ' content="2022-05-03T17:40:00-04:00">3 de mayo de 2022</span>'
+        "</body></html>"
+    )
+    assert find_date(doc) == "2022-05-03"

@@ -119,8 +119,10 @@ def main() -> int:
             tiers["exact"] += 1
         elif pred and pred[:7] == truth[:7]:
             tiers["same_month"] += 1
+            confusion.append((url, truth, pred))
         elif pred and pred[:4] == truth[:4]:
             tiers["same_year"] += 1
+            confusion.append((url, truth, pred))
         elif pred:
             tiers["disagree"] += 1
             confusion.append((url, truth, pred))

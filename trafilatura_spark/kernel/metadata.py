@@ -668,9 +668,11 @@ _DATE_MODIFIED_META_NAMES = {
 _ISO_DATE_RE = re.compile(r"(\d{4})[-/](\d{1,2})[-/](\d{1,2})")
 # schema.org structured-data stamps, matched by regex like htmldate's
 # json_search (tolerates malformed JSON around the field)
-_JSONLD_PUBLISHED_RE = re.compile(
-    r'"(?:datePublished|dateCreated|uploadDate)"\s*:\s*"([^"]{4,40})"'
-)
+_JSONLD_PUBLISHED_RE = re.compile(r'"datePublished"\s*:\s*"([^"]{4,40})"')
+# uploadDate deliberately excluded: it stamps an embedded VideoObject's
+# upload, not the article (eval case giga.de — a video uploaded in 2015
+# inside a 2017 article)
+_JSONLD_CREATED_RE = re.compile(r'"dateCreated"\s*:\s*"([^"]{4,40})"')
 _JSONLD_MODIFIED_RE = re.compile(r'"dateModified"\s*:\s*"([^"]{4,40})"')
 _COMPACT_DATE_RE = re.compile(r"\b(\d{4})(\d{2})(\d{2})\b")
 _DMY_DOT_RE = re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
@@ -865,6 +867,33 @@ def _url_date(
     return None
 
 
+_SCAN_ATTRS = ("content", "datetime", "data-date", "title", "value")
+
+
+def _scan_text(tree: Element, limit: int = 100_000) -> str:
+    """Raw-source-equivalent scan text: element text/tails, script
+    bodies, and date-bearing attribute values, space-separated.
+    htmldate's search_page receives the raw HTML string, so publish
+    stamps living in dataLayer pushes or content= attributes vote in
+    the free-text rung; joining on spaces also keeps element boundaries
+    as token boundaries (text_content() glues 'Berlin' + '2. Oktober'
+    into 'Berlin2.', hiding the day digit behind the regex's \\b)."""
+    parts = []
+    size = 0
+    for el in tree.iter("*"):
+        for piece in (
+            el.text,
+            el.tail,
+            *(el.get(a) for a in _SCAN_ATTRS),
+        ):
+            if piece:
+                parts.append(piece)
+                size += len(piece) + 1
+        if size >= limit:
+            break
+    return " ".join(parts)[:limit]
+
+
 def find_date(
     tree: Element,
     url: Optional[str] = None,
@@ -919,27 +948,64 @@ def find_date(
     # on real pages are often the MODIFIED stamp or sidebar/related-post
     # dates (the top systematic miss in the eval-corpus agreement study,
     # tools/date_agreement.py)
+    # datePublished outranks dateCreated/uploadDate ACROSS scripts
+    # (htmldate's json_search looks for datePublished specifically; a
+    # liveblog page can carry a dateCreated for every sub-item while the
+    # single datePublished names the article — eval case lanacion)
     jsonld_mod = None
+    date_scripts = []
     for script in tree.iterdescendants("script"):
         text = script.text or ""
-        if '"date' not in text:
-            continue
-        for m in _JSONLD_PUBLISHED_RE.finditer(text):
-            result = _normalize_date(m.group(1), min_date, max_date)
-            if result:
-                if not original_date:
-                    for m2 in _JSONLD_MODIFIED_RE.finditer(text):
-                        mod = _normalize_date(m2.group(1), min_date, max_date)
-                        if mod and mod > result:
-                            result = mod
-                return result
-        if jsonld_mod is None:
-            for m2 in _JSONLD_MODIFIED_RE.finditer(text):
-                jsonld_mod = _normalize_date(m2.group(1), min_date, max_date)
-                if jsonld_mod:
-                    break
+        if '"date' in text:
+            date_scripts.append(text)
+    for pattern in (_JSONLD_PUBLISHED_RE, _JSONLD_CREATED_RE):
+        for text in date_scripts:
+            for m in pattern.finditer(text):
+                result = _normalize_date(m.group(1), min_date, max_date)
+                if result:
+                    if not original_date:
+                        for m2 in _JSONLD_MODIFIED_RE.finditer(text):
+                            mod = _normalize_date(m2.group(1), min_date, max_date)
+                            if mod and mod > result:
+                                result = mod
+                    return result
+    for text in date_scripts:
+        for m2 in _JSONLD_MODIFIED_RE.finditer(text):
+            jsonld_mod = _normalize_date(m2.group(1), min_date, max_date)
+            if jsonld_mod:
+                break
+        if jsonld_mod:
+            break
     if modified_candidate is None:
         modified_candidate = jsonld_mod
+    # 1.7 microdata itemprop=datePublished on ANY element (taz puts it on
+    # an <li content=...>, macwelt on a bare <meta> outside <head>) — but
+    # only when the page agrees on ONE distinct value: related-article
+    # rails carry a datePublished per card (eval case madame.lefigaro),
+    # and picking the first would read the rail, not the article
+    itemprop_dates: Dict[str, int] = {}
+    for el in tree.iterdescendants("*"):
+        if (el.get("itemprop") or "") in ("datePublished", "dateCreated"):
+            for candidate in (el.get("content"), el.get("datetime")):
+                if candidate:
+                    result = _normalize_date(candidate, min_date, max_date)
+                    if result:
+                        itemprop_dates[result] = itemprop_dates.get(result, 0) + 1
+                    break
+    if len(itemprop_dates) == 1:
+        return next(iter(itemprop_dates))
+    # 1.8 RDFa publication stamps on non-meta elements: Drupal-family
+    # pages stamp <span property="dc:date" content="..."> (eval case
+    # lostiempos) — same vocabulary as rung 1, which only sees <meta>
+    # elements.  ':' and '.' separators are interchangeable in the wild.
+    for el in tree.iterdescendants("*"):
+        if el.tag == "meta":
+            continue
+        prop = (el.get("property") or "").lower().replace(":", ".")
+        if prop in _DATE_META_NAMES and el.get("content"):
+            result = _normalize_date(el.get("content"), min_date, max_date)
+            if result:
+                return result
     # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
     for time_el in tree.iterdescendants("time"):
         for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
@@ -992,19 +1058,27 @@ def find_date(
         result = _url_date(candidate_url, min_date, max_date)
         if result:
             return result
-    # 5. modified-date meta (weaker than any published signal above)
-    if modified_candidate:
-        return modified_candidate
+    # 5. free-text scan before the modified meta: htmldate with
+    # original_date=True SKIPS modified metas in examine_meta entirely
+    # (core.py `elif "modified" in attribute and not original_date`), so
+    # a byline date in the text must outrank article:modified_time —
+    # eval case pferderevue ("27.01.2022" byline vs a 02-04 modified
+    # stamp).  We keep the modified stamp as a last-resort rung below
+    # rather than dropping it (better a modified date than none).
     if not extensive:
-        return None
-    # 6. free-text scan over the rendered text (bounded) — htmldate's
-    # search_page + select_candidate shape: collect EVERY in-window
-    # occurrence across all patterns and score by frequency (a page that
-    # lists its publication date in the byline, the footer, and a
-    # citation block outvotes one stray archive link), instead of
-    # first-match-wins.  Ties go to the earliest date under
-    # original_date (htmldate's original preference) else the latest.
-    text = tree.text_content()[:100_000]
+        return modified_candidate
+    # 6. free-text scan (bounded) — htmldate's search_page +
+    # select_candidate shape: collect EVERY in-window occurrence across
+    # all patterns and score by frequency (a page that lists its
+    # publication date in the byline, the footer, and a citation block
+    # outvotes one stray archive link), instead of first-match-wins.
+    # Ties go to the earliest date under original_date (htmldate's
+    # original preference) else the latest.  htmldate scans the RAW
+    # HTML SOURCE, not the rendered text: script bodies and date-bearing
+    # attributes (dataLayer publish stamps, content= attrs) vote too,
+    # and element boundaries separate tokens that text_content() glues
+    # ("Berlin2. Oktober 2015" hides the day behind a \b).
+    text = _scan_text(tree)
     counts: Dict[str, int] = {}
     for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
         for match in pat.finditer(text):
@@ -1015,6 +1089,9 @@ def find_date(
         best = max(counts.values())
         tied = sorted(d for d, c in counts.items() if c == best)
         return tied[0] if original_date else tied[-1]
+    # 6.5 modified-date meta (weaker than every published signal)
+    if modified_candidate:
+        return modified_candidate
     # 7. copyright year, the last-resort rung (day/month default to Jan 1)
     match = _COPYRIGHT_RE.search(text)
     if match:
