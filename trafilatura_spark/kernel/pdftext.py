@@ -28,15 +28,24 @@ their /ToUnicode CMap when present (beginbfchar / beginbfrange, the
 self-contained public CMap subset): the object graph is scanned for
 Resources /Font name -> font object -> ToUnicode stream, and shown bytes
 are mapped in codespacerange-sized units to UTF-16BE targets.  Composite
-fonts WITHOUT a ToUnicode map yield no text (full predefined-CMap tables
-are out of scope) and the document is labeled tier='pdf_no_text_map' so
-a corpus owner can count them.  Encrypted PDFs: the standard
-security handler is implemented for the EMPTY user password — the
-common permissions-only encryption — across RC4 (/V 1-2, ISO 32000-1
-§7.6.3), AES-128 AESV2 (/V 4) and AES-256 AESV3 (/V 5, /R 5-6 incl.
-the Algorithm 2.B iterated hash), all gated on /U verification; AES
-itself is a from-scratch FIPS-197 implementation (kernel/aescipher.py).
-Files needing a real password are refused and the kernel labels them
+/Identity-H|V fonts WITHOUT a ToUnicode map are recovered from their
+embedded TrueType program when present (round-6): CID -> glyph id via
+/CIDToGIDMap (Identity or stream form), glyph id -> unicode by
+inverting the font's own 'cmap' table (formats 4/12/6/0).  Only the
+genuinely unmappable (no /FontFile2, unparseable program, predefined
+non-Identity CMaps — those tables stay out of scope) keep the labeled
+tier='pdf_no_text_map' so a corpus owner can count them.  Encrypted
+PDFs: the standard security handler is implemented for the EMPTY user
+password — the common permissions-only encryption — across RC4 (/V 1-2,
+ISO 32000-1 §7.6.3), AES-128 AESV2 (/V 4) and AES-256 AESV3 (/V 5,
+/R 5-6 incl. the Algorithm 2.B iterated hash), all gated on /U
+verification; AES itself is a from-scratch FIPS-197 implementation
+(kernel/aescipher.py).  Job-supplied real passwords are tried as USER
+then OWNER on every revision — for /V 5 including the /O+/OE owner leg
+(owner hashes take the 48-byte /U string as trailing input) — after
+SASLprep (RFC 4013 via stdlib stringprep) and the 127-byte UTF-8
+truncation ISO 32000-2 7.6.4.3.3 prescribes.  Files whose password
+does not verify are refused and the kernel labels them
 tier='pdf_encrypted' instead of emitting key-stream garbage.
 
 The Spark face: operators/extract.py routes %PDF- payloads here before
@@ -173,6 +182,43 @@ def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
     return k[:32]
 
 
+def _saslprep(s: str) -> str:
+    """RFC 4013 SASLprep via the stdlib stringprep tables: map non-ASCII
+    spaces to SPACE and drop mapped-to-nothing chars, NFKC-normalize,
+    reject prohibited output and RFC 3454 §6 bidi violations
+    (ValueError).  ISO 32000-2 7.6.4.3.3 requires it for AES-256
+    passwords; ASCII strings pass through unchanged."""
+    import stringprep
+    import unicodedata
+
+    mapped = []
+    for ch in s:
+        if stringprep.in_table_c12(ch):
+            mapped.append(" ")
+        elif not stringprep.in_table_b1(ch):
+            mapped.append(ch)
+    out = unicodedata.normalize("NFKC", "".join(mapped))
+    for ch in out:
+        if (
+            stringprep.in_table_c12(ch)
+            or stringprep.in_table_c21_c22(ch)
+            or stringprep.in_table_c3(ch)
+            or stringprep.in_table_c4(ch)
+            or stringprep.in_table_c5(ch)
+            or stringprep.in_table_c6(ch)
+            or stringprep.in_table_c7(ch)
+            or stringprep.in_table_c8(ch)
+            or stringprep.in_table_c9(ch)
+        ):
+            raise ValueError("SASLprep: prohibited character")
+    if out and any(stringprep.in_table_d1(ch) for ch in out):
+        if any(stringprep.in_table_d2(ch) for ch in out):
+            raise ValueError("SASLprep: mixed bidi categories")
+        if not (stringprep.in_table_d1(out[0]) and stringprep.in_table_d1(out[-1])):
+            raise ValueError("SASLprep: bidi first/last")
+    return out
+
+
 def decryption_key(
     payload: Union[bytes, str], password: Union[bytes, str] = b""
 ) -> Optional[PdfCrypt]:
@@ -226,24 +272,52 @@ def decryption_key(
             ue = _dict_bytes_value(body, b"UE")
             if not ue or len(u) < 48:
                 return None
-            vsalt, ksalt = u[32:40], u[40:48]
-            # /R 5-6 SASLprep is out of scope: pw bytes are used as given
-            # (ASCII passwords — the practical corpus case — are identical
-            # under SASLprep).  ISO 32000-2 7.6.4.3.3 DOES require the
-            # UTF-8 password be truncated to 127 bytes before Algorithm
-            # 2.A/2.B hashing — conforming readers accept >127-byte
-            # passwords by ignoring the tail (ADVICE r5).
+            # ISO 32000-2 7.6.4.3.3: the password is SASLprep'd (RFC
+            # 4013) then UTF-8-encoded and truncated to 127 bytes before
+            # the Algorithm 2.A/2.B hashes.  A password whose SASLprep
+            # output is prohibited falls back to the raw UTF-8 bytes
+            # (best effort — a conforming writer would have rejected it).
+            pw5 = password if isinstance(password, str) else None
+            if pw5 is None:
+                try:
+                    pw5 = (password or b"").decode("utf-8")
+                except UnicodeDecodeError:
+                    pw5 = None
+            if pw5 is not None:
+                try:
+                    pw = _saslprep(pw5).encode("utf-8")
+                except ValueError:
+                    pass
             pw = pw[:127]
+            vsalt, ksalt = u[32:40], u[40:48]
             if r == 6:
-                if _hash_2b(pw, vsalt) != u[:32]:
-                    return None
-                ik = _hash_2b(pw, ksalt)
+                if _hash_2b(pw, vsalt) == u[:32]:
+                    ik = _hash_2b(pw, ksalt)
+                    key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])[:32]
+                    return PdfCrypt(key, aes=True, salted=False)
             else:
-                if hashlib.sha256(pw + vsalt).digest() != u[:32]:
-                    return None
-                ik = hashlib.sha256(pw + ksalt).digest()
-            key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])[:32]
-            return PdfCrypt(key, aes=True, salted=False)
+                if hashlib.sha256(pw + vsalt).digest() == u[:32]:
+                    ik = hashlib.sha256(pw + ksalt).digest()
+                    key = cbc_decrypt(ik, b"\x00" * 16, ue[:32])[:32]
+                    return PdfCrypt(key, aes=True, salted=False)
+            # ...then as the OWNER password (Algorithm 2.A owner leg):
+            # /O = hash(32) + validation salt(8) + key salt(8), hashed
+            # WITH the full 48-byte /U string as trailing input; /OE
+            # unwraps the same file key (VERDICT r5 "V5 owner path")
+            oe = _dict_bytes_value(body, b"OE")
+            if pw and oe and len(o) >= 48:
+                ovsalt, oksalt = o[32:40], o[40:48]
+                if r == 6:
+                    if _hash_2b(pw, ovsalt, u[:48]) == o[:32]:
+                        ik = _hash_2b(pw, oksalt, u[:48])
+                        key = cbc_decrypt(ik, b"\x00" * 16, oe[:32])[:32]
+                        return PdfCrypt(key, aes=True, salted=False)
+                else:
+                    if hashlib.sha256(pw + ovsalt + u[:48]).digest() == o[:32]:
+                        ik = hashlib.sha256(pw + oksalt + u[:48]).digest()
+                        key = cbc_decrypt(ik, b"\x00" * 16, oe[:32])[:32]
+                        return PdfCrypt(key, aes=True, salted=False)
+            return None
 
         if v > 4 or r > 4:
             return None
@@ -519,6 +593,213 @@ def _inflate(raw: bytes) -> bytes:
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 
+# --- Identity-ordered CID fonts without ToUnicode (round-6) ------------------
+# ISO 32000-1 9.7.4: with /Encoding /Identity-H|V the 2-byte show codes ARE
+# the CIDs, and for CIDFontType2 the /CIDToGIDMap (default /Identity) takes
+# CID -> TrueType glyph id.  The embedded font program's own 'cmap' table
+# maps unicode -> glyph id, so INVERTING it recovers text for exactly the
+# class the reference's pdfminer backend handles via font internals.
+# Reference behavior parity: trafilatura routes PDFs to external tooling;
+# this labeled tier ladder (pdf -> pdf_no_text_map) is our from-scratch
+# stand-in (SURVEY §2.2).
+
+_DESC_ARRAY_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_DESC_REF_RE = re.compile(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+\d+\s+R")
+_CIDTOGID_REF_RE = re.compile(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+_MAX_TT_CHARS = 65536  # chars harvested per font program (BMP-sized cap)
+
+
+def _u16(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 2], "big")
+
+
+def _u32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i : i + 4], "big")
+
+
+def _ttf_unicode_by_gid(font: bytes) -> Dict[int, str]:
+    """glyph id -> unicode char, by inverting the TrueType 'cmap' table
+    (formats 4/12/6/0; subtable preference (3,1) then (0,*) then (3,10),
+    the usual Windows-BMP-first order).  Collisions keep the LOWEST
+    codepoint (deterministic; ligature/alternate gids alias upward).
+    Returns {} on anything malformed — callers fall back to the labeled
+    pdf_no_text_map tier, never garbage."""
+    try:
+        num_tables = _u16(font, 4)
+        cmap_off = None
+        for t in range(min(num_tables, 64)):
+            rec = 12 + 16 * t
+            if font[rec : rec + 4] == b"cmap":
+                cmap_off = _u32(font, rec + 8)
+                break
+        if cmap_off is None or cmap_off >= len(font):
+            return {}
+        n_sub = _u16(font, cmap_off + 2)
+        best = None  # (preference rank, subtable offset)
+        for s in range(min(n_sub, 32)):
+            rec = cmap_off + 4 + 8 * s
+            plat, enc = _u16(font, rec), _u16(font, rec + 2)
+            off = cmap_off + _u32(font, rec + 4)
+            rank = {(3, 1): 0, (0, 3): 1, (0, 4): 1, (0, 6): 1, (0, 0): 2,
+                    (0, 1): 2, (0, 2): 2, (3, 10): 3, (1, 0): 4}.get((plat, enc))
+            if rank is not None and (best is None or rank < best[0]):
+                best = (rank, off)
+        if best is None:
+            return {}
+        sub = best[1]
+        fmt = _u16(font, sub)
+        uni_to_gid: Dict[int, int] = {}
+        if fmt == 4:
+            seg2 = _u16(font, sub + 6)
+            seg = seg2 // 2
+            ends = sub + 14
+            starts = ends + seg2 + 2
+            deltas = starts + seg2
+            rangeoffs = deltas + seg2
+            harvested = 0
+            for i in range(seg):
+                end_c = _u16(font, ends + 2 * i)
+                start_c = _u16(font, starts + 2 * i)
+                if start_c > end_c or start_c == 0xFFFF:
+                    continue
+                delta = _u16(font, deltas + 2 * i)
+                roff_pos = rangeoffs + 2 * i
+                roff = _u16(font, roff_pos)
+                for c in range(start_c, min(end_c, start_c + _MAX_TT_CHARS) + 1):
+                    if roff == 0:
+                        gid = (c + delta) & 0xFFFF
+                    else:
+                        addr = roff_pos + roff + 2 * (c - start_c)
+                        gid = _u16(font, addr)
+                        if gid:
+                            gid = (gid + delta) & 0xFFFF
+                    if gid:
+                        uni_to_gid.setdefault(c, gid)
+                    harvested += 1
+                    if harvested >= _MAX_TT_CHARS:
+                        break
+                if harvested >= _MAX_TT_CHARS:
+                    break
+        elif fmt == 12:
+            n_groups = _u32(font, sub + 12)
+            harvested = 0
+            for g in range(min(n_groups, 10000)):
+                rec = sub + 16 + 12 * g
+                start_c, end_c, start_gid = _u32(font, rec), _u32(font, rec + 4), _u32(font, rec + 8)
+                if start_c > end_c or start_c > 0x10FFFF:
+                    continue
+                for off in range(min(end_c - start_c, _MAX_TT_CHARS) + 1):
+                    uni_to_gid.setdefault(start_c + off, start_gid + off)
+                    harvested += 1
+                    if harvested >= _MAX_TT_CHARS:
+                        break
+                if harvested >= _MAX_TT_CHARS:
+                    break
+        elif fmt == 6:
+            first, count = _u16(font, sub + 6), _u16(font, sub + 8)
+            for i in range(min(count, _MAX_TT_CHARS)):
+                gid = _u16(font, sub + 10 + 2 * i)
+                if gid:
+                    uni_to_gid.setdefault(first + i, gid)
+        elif fmt == 0:
+            for c in range(256):
+                gid = font[sub + 6 + c]
+                if gid:
+                    uni_to_gid.setdefault(c, gid)
+        else:
+            return {}
+        by_gid: Dict[int, str] = {}
+        for c in sorted(uni_to_gid):
+            gid = uni_to_gid[c]
+            if gid not in by_gid and 0x20 <= c <= 0x10FFFF and not (0xD800 <= c <= 0xDFFF):
+                by_gid[gid] = chr(c)
+        return by_gid
+    except (IndexError, ValueError, OverflowError):
+        return {}
+
+
+def _identity_cid_cmap(
+    body: bytes,
+    objs: Dict[int, Tuple[int, bytes]],
+    key: Optional["PdfCrypt"] = None,
+) -> Optional[CMap]:
+    """CMap (2-byte CID -> text) for a Type0 /Identity-H|V font with no
+    /ToUnicode, recovered from its descendant CIDFontType2's embedded
+    /FontFile2: CID -> gid via /CIDToGIDMap (/Identity default, or the
+    2-bytes-per-CID stream form), gid -> unicode via the font program's
+    inverted 'cmap' (_ttf_unicode_by_gid).  None when the font program
+    is absent/unparseable — caller keeps the pdf_no_text_map tier."""
+
+    def _resolve(num: int) -> Optional[Tuple[int, int, bytes]]:
+        entry = objs.get(num)
+        return (num, entry[0], entry[1]) if entry else None
+
+    def _stream_of(num: int) -> Optional[bytes]:
+        entry = _resolve(num)
+        if entry is None:
+            return None
+        onum, gen, obody = entry
+        sm = _STREAM_RE.search(obody)
+        if not sm:
+            return None
+        raw = sm.group(1)
+        if key is not None:
+            raw = _decrypt_stream(key, onum, gen, raw)
+        return _inflate(raw)
+
+    m = _DESC_ARRAY_RE.search(body)
+    if m:
+        desc_entry = _resolve(int(m.group(1)))
+    else:
+        m = _DESC_REF_RE.search(body)
+        if not m:
+            return None
+        arr = _resolve(int(m.group(1)))  # ref to the array object
+        if arr is None:
+            return None
+        first = _REF_RE.search(arr[2])
+        desc_entry = _resolve(int(first.group(1))) if first else None
+    if desc_entry is None:
+        return None
+    desc = desc_entry[2]
+    fd = _FONTDESC_RE.search(desc)
+    if fd is None:
+        return None
+    fd_entry = _resolve(int(fd.group(1)))
+    if fd_entry is None:
+        return None
+    ff = _FONTFILE2_RE.search(fd_entry[2])
+    if ff is None:
+        return None
+    program = _stream_of(int(ff.group(1)))
+    if not program:
+        return None
+    by_gid = _ttf_unicode_by_gid(program)
+    if not by_gid:
+        return None
+    mapping: Dict[bytes, str] = {}
+    c2g = _CIDTOGID_REF_RE.search(desc)
+    if c2g:
+        gid_stream = _stream_of(int(c2g.group(1)))
+        if gid_stream is None:
+            return None
+        for cid in range(min(len(gid_stream) // 2, 65536)):
+            gid = _u16(gid_stream, 2 * cid)
+            ch = by_gid.get(gid)
+            if ch is not None:
+                mapping[cid.to_bytes(2, "big")] = ch
+    else:  # /CIDToGIDMap /Identity (also the default when absent)
+        for gid, ch in by_gid.items():
+            if gid <= 0xFFFF:
+                mapping[gid.to_bytes(2, "big")] = ch
+    if not mapping:
+        return None
+    return mapping, [2]
+
 
 def _composite_nomap_fonts(data: bytes) -> frozenset:
     """Resource names of composite (Type0 / Identity-H) fonts that have NO
@@ -560,6 +841,16 @@ def _font_cmaps(data: bytes, key: Optional["PdfCrypt"] = None) -> Dict[str, CMap
                 continue
             tu = _TOUNICODE_RE.search(entry[1])
             if not tu:
+                # Identity-encoded composite font without ToUnicode: try
+                # recovering CID -> text from the embedded TrueType
+                # program (round-6; _identity_cid_cmap docstring)
+                name = ref.group(1).decode("latin-1")
+                if name not in fonts and (
+                    _TYPE0_RE.search(entry[1]) and _IDENTITY_RE.search(entry[1])
+                ):
+                    cmap = _identity_cid_cmap(entry[1], objs, key)
+                    if cmap:
+                        fonts[name] = cmap
                 continue
             tunum = int(tu.group(1))
             tuentry = objs.get(tunum)
@@ -840,7 +1131,9 @@ def extract_pdf_info(
             if key is None:
                 return PdfTextInfo("", False, False)
         fonts = _font_cmaps(data, key)
-        nomap = _composite_nomap_fonts(data)
+        # fonts recovered via the embedded-TrueType path are mapped now —
+        # only the genuinely unmappable keep the pdf_no_text_map label
+        nomap = frozenset(_composite_nomap_fonts(data) - set(fonts))
         if key is None:
             # unencrypted: whole-file stream scan (also catches streams of
             # truncated objects with no closing endobj)
