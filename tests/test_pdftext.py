@@ -1064,3 +1064,36 @@ def test_saslprep_profile_semantics():
     with pytest.raises(ValueError):
         _saslprep("\u0627a")                      # RandALCat + LCat mix
     assert _saslprep("\u0627\u0628") == "\u0627\u0628"  # pure RTL ok
+
+
+def test_rc4_encrypted_identity_h_fontfile_recovers():
+    """The Identity-H FontFile2 recovery path must decrypt the embedded
+    font program with its OWN per-object key (same rule as ToUnicode
+    streams) before parsing the TrueType cmap."""
+    key = _file_key(3, 128)
+    ttf = _mini_ttf()
+    content = b"BT /CID 12 Tf <" + _gid_hex("Hi") + b"> Tj ET"
+    body = _rc4_ref(_obj_key(key, 4, 0), zlib.compress(content))
+    prog = _rc4_ref(_obj_key(key, 10, 0), ttf)
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R\n"
+        b"   /Resources << /Font << /CID 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Filter /FlateDecode /Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+        b" /DescendantFonts [7 0 R] >> endobj\n"
+        b"7 0 obj << /Type /Font /Subtype /CIDFontType2"
+        b" /FontDescriptor 8 0 R /CIDToGIDMap /Identity >> endobj\n"
+        b"8 0 obj << /Type /FontDescriptor /FontFile2 10 0 R >> endobj\n"
+        b"10 0 obj << /Length " + str(len(prog)).encode() + b" >>\n"
+        b"stream\n" + prog + b"\nendstream\nendobj\n"
+        b"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P " + str(_P).encode()
+        + b" /O <" + _O.hex().encode() + b"> /U <" + _u_value(key, 3).hex().encode()
+        + b"> >> endobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 9 0 R /ID [<" + _ID0.hex().encode()
+        + b"> <" + _ID0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "Hi"

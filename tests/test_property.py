@@ -204,3 +204,28 @@ def test_dtd_parser_bounded_failure_mode(raw):
     except ValueError:
         return
     assert schema.elements is not None
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=200, deadline=None)
+def test_ttf_cmap_inversion_total(data):
+    "Arbitrary bytes as a font program: dict out or {}, never an exception."
+    from trafilatura_spark.kernel.pdftext import _ttf_unicode_by_gid
+
+    out = _ttf_unicode_by_gid(data)
+    assert isinstance(out, dict)
+    for gid, ch in out.items():
+        assert isinstance(gid, int) and isinstance(ch, str) and len(ch) == 1
+
+
+@given(st.binary(min_size=0, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_ttf_cmap_inversion_total_with_sfnt_prefix(data):
+    "Plausible sfnt headers + garbage tables stay total too."
+    import struct
+
+    from trafilatura_spark.kernel.pdftext import _ttf_unicode_by_gid
+
+    font = struct.pack(">I4H", 0x00010000, 1, 16, 0, 0)
+    font += b"cmap" + struct.pack(">3I", 0, 28, len(data)) + data
+    assert isinstance(_ttf_unicode_by_gid(font), dict)

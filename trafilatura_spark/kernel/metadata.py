@@ -983,7 +983,14 @@ def find_date(
     # only when the page agrees on ONE distinct value: related-article
     # rails carry a datePublished per card (eval case madame.lefigaro),
     # and picking the first would read the rail, not the article
+    # ... and 1.8: RDFa publication stamps on non-meta elements —
+    # Drupal-family pages stamp <span property="dc:date" content="...">
+    # (eval case lostiempos) with the rung-1 vocabulary, which only sees
+    # <meta> elements (':' and '.' separators are interchangeable in the
+    # wild).  One tree walk serves both rungs: this runs per document in
+    # the fused extract+metadata path.
     itemprop_dates: Dict[str, int] = {}
+    rdfa_date = None
     for el in tree.iterdescendants("*"):
         if (el.get("itemprop") or "") in ("datePublished", "dateCreated"):
             for candidate in (el.get("content"), el.get("datetime")):
@@ -992,20 +999,14 @@ def find_date(
                     if result:
                         itemprop_dates[result] = itemprop_dates.get(result, 0) + 1
                     break
+        if rdfa_date is None and el.tag != "meta":
+            prop = (el.get("property") or "").lower().replace(":", ".")
+            if prop in _DATE_META_NAMES and el.get("content"):
+                rdfa_date = _normalize_date(el.get("content"), min_date, max_date)
     if len(itemprop_dates) == 1:
         return next(iter(itemprop_dates))
-    # 1.8 RDFa publication stamps on non-meta elements: Drupal-family
-    # pages stamp <span property="dc:date" content="..."> (eval case
-    # lostiempos) — same vocabulary as rung 1, which only sees <meta>
-    # elements.  ':' and '.' separators are interchangeable in the wild.
-    for el in tree.iterdescendants("*"):
-        if el.tag == "meta":
-            continue
-        prop = (el.get("property") or "").lower().replace(":", ".")
-        if prop in _DATE_META_NAMES and el.get("content"):
-            result = _normalize_date(el.get("content"), min_date, max_date)
-            if result:
-                return result
+    if rdfa_date:
+        return rdfa_date
     # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
     for time_el in tree.iterdescendants("time"):
         for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
