@@ -288,7 +288,8 @@ class Element:
             for child in src._children:
                 c = cls.__new__(cls)
                 c.tag = child.tag
-                c.attrib = dict(child.attrib)
+                a = child.attrib
+                c.attrib = a.copy() if a else {}
                 c.text, c.tail = child.text, child.tail
                 c._children = []
                 c._parent = dst
@@ -539,8 +540,235 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# ---------------------------------------------------------------------------
+# fast single-shot tokenizer
+#
+# The stdlib HTMLParser drive loop (goahead) pays for incremental-feed
+# buffering, line/offset bookkeeping (updatepos), per-construct method
+# dispatch, and a second full scan of every start tag
+# (check_for_whole_start_tag + tagfind/attrfind) — ~40% of kernel parse
+# time on real pages.  _fast_feed re-implements the SAME tokenization
+# for the whole-document case (feed + close, convert_charrefs=True,
+# comments/decls/PIs dropped), reusing the stdlib's own compiled
+# regexes so tag/attr boundary semantics are identical by construction.
+# Anything hairy (SGML marked sections "<![") or any unexpected error
+# punts to the stdlib builder on a fresh tree — worst case is a double
+# parse, never a divergence.  Differential-tested against the stdlib
+# builder on the full eval corpus (tests/test_fast_parser.py).
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+from html import parser as _hp
+from _markupbase import _commentclose  # type: ignore
+
+_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# stdlib check_for_whole_start_tag's "end of input in or before attribute
+# value" character class (letters + '=' + '/')
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
+
+class _FastUnsupported(Exception):
+    "Construct the fast tokenizer deliberately punts to the stdlib on."
+
+
+def _recover_emit(b, raw: str, i: int) -> int:
+    """goahead's end-of-input recovery for an unterminated construct:
+    emit up to the next '>' (inclusive) or '<' (exclusive) or one char,
+    as unescaped data (html/parser.py goahead, the k<0 + end branch)."""
+    k = raw.find(">", i + 1)
+    if k < 0:
+        k = raw.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    b.handle_data(_unescape(raw[i:k]))
+    return k
+
+
+def _fast_feed(b: "_TreeBuilder", raw: str) -> None:
+    "Single-shot tokenize raw into builder b, mirroring HTMLParser exactly."
+    n = len(raw)
+    i = 0
+    find = raw.find
+    startswith = raw.startswith
+    handle_data = b.handle_data
+    handle_starttag = b.handle_starttag
+    handle_endtag = b.handle_endtag
+    handle_startendtag = b.handle_startendtag
+    tagfind = _hp.tagfind_tolerant.match
+    attrfind = _hp.attrfind_tolerant.match
+    locate = _hp.locatestarttagend_tolerant.match
+    endtagm = _hp.endtagfind.match
+    gtsearch = _hp.endendtag.search
+    pisearch = _hp.piclose.search
+    commentsearch = _commentclose.search
+    unesc = _unescape
+    letters = _LETTERS
+    cdata_elem = None
+    while i < n:
+        # -- text run up to the next markup boundary --
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                text = raw[i:n]
+                handle_data(unesc(text) if "&" in text else text)
+                return
+            if i < j:
+                text = raw[i:j]
+                handle_data(unesc(text) if "&" in text else text)
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(raw, i)
+            if not m:
+                return  # unterminated rawtext content is dropped (stdlib break)
+            j = m.start()
+            if i < j:
+                handle_data(raw[i:j])  # rawtext: no charref conversion
+        i = j
+        nxt = raw[i + 1 : i + 2]
+        # -- start tag --
+        if nxt in letters:
+            lm = locate(raw, i)
+            lj = lm.end()
+            nc = raw[lj : lj + 1]
+            if nc == ">":
+                endpos = lj + 1
+            elif nc == "/":
+                if startswith("/>", lj):
+                    endpos = lj + 2
+                else:
+                    i = _recover_emit(b, raw, i)
+                    continue
+            elif nc == "" or nc in _INCOMPLETE_NEXT:
+                i = _recover_emit(b, raw, i)
+                continue
+            else:
+                endpos = lj  # bogus input: tag text ends here, reparse from nc
+            m = tagfind(raw, i + 1)
+            k = m.end()
+            tag = m.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = attrfind(raw, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue and "&" in attrvalue:
+                    attrvalue = unesc(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = raw[k:endpos].strip()
+            if end == ">":
+                handle_starttag(tag, attrs)
+                if tag == "script" or tag == "style":
+                    cdata_elem = tag
+            elif end == "/>":
+                handle_startendtag(tag, attrs)
+            else:
+                handle_data(raw[i:endpos])  # mismatched tag scan: raw text
+            i = endpos
+        # -- end tag --
+        elif nxt == "/":
+            gm = gtsearch(raw, i + 1)
+            if not gm:
+                if cdata_elem is None:
+                    i = _recover_emit(b, raw, i)
+                    continue
+                return  # unterminated inside rawtext: dropped
+            gtpos = gm.end()
+            m = endtagm(raw, i)
+            if m:
+                elem = m.group(1).lower()
+                if cdata_elem is not None and elem != cdata_elem:
+                    handle_data(raw[i:gtpos])
+                    i = gtpos
+                    continue
+                cdata_elem = None
+                handle_endtag(elem)
+                i = gtpos
+            elif cdata_elem is not None:
+                handle_data(raw[i:gtpos])
+                i = gtpos
+            else:
+                nm = tagfind(raw, i + 2)
+                if not nm:
+                    if raw[i : i + 3] == "</>":
+                        i += 3
+                    else:  # bogus comment: skip to '>' (content dropped)
+                        pos = find(">", i + 2)
+                        if pos < 0:
+                            i = _recover_emit(b, raw, i)
+                            continue
+                        i = pos + 1
+                else:
+                    tagname = nm.group(1).lower()
+                    g2 = find(">", nm.end())
+                    handle_endtag(tagname)
+                    i = g2 + 1
+        # -- comment --
+        elif startswith("<!--", i):
+            cm = commentsearch(raw, i + 4)
+            if not cm:
+                i = _recover_emit(b, raw, i)
+                continue
+            i = cm.end()  # comment content dropped
+        # -- processing instruction --
+        elif nxt == "?":
+            pm = pisearch(raw, i + 2)
+            if not pm:
+                i = _recover_emit(b, raw, i)
+                continue
+            i = pm.end()  # PI dropped
+        # -- declaration / marked section / bogus comment --
+        elif nxt == "!":
+            if startswith("<![", i):
+                raise _FastUnsupported  # SGML marked section: stdlib handles
+            if raw[i : i + 9].lower() == "<!doctype":
+                g = find(">", i + 9)
+                if g < 0:
+                    i = _recover_emit(b, raw, i)
+                    continue
+                i = g + 1  # doctype dropped
+            else:  # bogus comment
+                pos = find(">", i + 2)
+                if pos < 0:
+                    i = _recover_emit(b, raw, i)
+                    continue
+                i = pos + 1
+        # -- lone '<' --
+        else:
+            handle_data("<")
+            i += 1
+    return
+
+
 def parse_html(html: str) -> Optional[Element]:
     "Parse an HTML string into an Element tree rooted at <html>."
+    builder = _TreeBuilder()
+    try:
+        _fast_feed(builder, html)
+    except Exception:
+        # deliberate punt (_FastUnsupported) or anything unexpected:
+        # re-parse from scratch with the stdlib-driven builder
+        try:
+            builder = _TreeBuilder()
+            builder.feed(html)
+            builder.close()
+        except Exception:
+            return None
+    return builder.root
+
+
+def parse_html_stdlib(html: str) -> Optional[Element]:
+    "stdlib-HTMLParser-driven parse (differential-test oracle for _fast_feed)."
     try:
         builder = _TreeBuilder()
         builder.feed(html)

@@ -178,17 +178,50 @@ class ReadabilityExtractor:
 
     def _remove_unlikely_candidates(self) -> None:
         for elem in list(self.doc.iterdescendants()):
-            if elem.getparent() is None:
+            if elem._parent is None:
                 continue
-            attrs = " ".join(filter(None, (elem.get("class"), elem.get("id"))))
+            a = elem.attrib
+            if not a:
+                continue
+            cls = a.get("class")
+            eid = a.get("id")
+            if cls:
+                attrs = cls + " " + eid if eid else cls
+            elif eid:
+                attrs = eid
+            else:
+                continue
             if len(attrs) < 2:
                 continue
             if elem.tag not in FRAME_TAGS and UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
                 delete_element(elem)
 
     def _transform_misused_divs(self) -> None:
-        for elem in list(self.doc.iterdescendants("div")):
-            if not any(d.tag in DIV_TO_P_ELEMS for d in elem.iterdescendants()):
+        # single bottom-up pass instead of a per-div subtree rescan (which
+        # is quadratic on nested divs).  Every div is visited in document
+        # order before any div INSIDE it could be renamed, so evaluating
+        # all the "contains a DIV_TO_P_ELEMS descendant" checks against the
+        # original tags is exactly the per-div loop's semantics.
+        doc = self.doc
+        divs: list = []
+        has_block: dict = {}  # id(elem) -> subtree contains a DIV_TO_P_ELEMS tag
+        order: list = []
+        stack = list(doc._children)
+        while stack:
+            node = stack.pop()
+            order.append(node)
+            stack.extend(node._children)
+        for node in reversed(order):  # children always before parents
+            flag = False
+            for c in node._children:
+                if c.tag in DIV_TO_P_ELEMS or has_block[id(c)]:
+                    flag = True
+                    break
+            has_block[id(node)] = flag
+            if node.tag == "div":
+                divs.append(node)
+        for elem in divs:
+            if not has_block[id(elem)]:
                 elem.tag = "p"
 
         for elem in list(self.doc.iterdescendants("div")):
