@@ -115,6 +115,48 @@ def prune_unwanted_nodes(
     return tree
 
 
+def _subtree_link_info(root: Element) -> tuple[str, list[Element], bool]:
+    """One doc-order walk replacing the three separate subtree scans the
+    link-density predicates need (``text_content()`` + ``findall('.//ref')``
+    + ``find('.//graphic')``): returns (inner text, descendant <ref>
+    elements in document order, whether any descendant <graphic> exists).
+    Byte-identical text to ``root.text_content()``; same node list as
+    ``findall`` (descendants only, nested refs included)."""
+    parts: list = []
+    links: list[Element] = []
+    has_graphic = False
+    emit = parts.append
+    stack: list = []
+    children = root._children
+    for i in range(len(children) - 1, -1, -1):
+        c = children[i]
+        if c.tail:
+            stack.append(c.tail)
+        stack.append(c)
+    if root.text:
+        stack.append(root.text)
+    pop = stack.pop
+    while stack:
+        item = pop()
+        if item.__class__ is str:
+            emit(item)
+            continue
+        tag = item.tag
+        if tag == "ref":
+            links.append(item)
+        elif tag == "graphic":
+            has_graphic = True
+        children = item._children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.tail:
+                stack.append(c.tail)
+            stack.append(c)
+        if item.text:
+            stack.append(item.text)
+    return "".join(parts), links, has_graphic
+
+
 def collect_link_info(links: list[Element]) -> tuple[int, int, int, list[str]]:
     "Heuristics on link text (htmlprocessing.py:115-123)."
     mylist = [e for e in (trim(elem.text_content()) for elem in links) if e]
@@ -124,14 +166,20 @@ def collect_link_info(links: list[Element]) -> tuple[int, int, int, list[str]]:
 
 
 def link_density_test(
-    element: Element, text: str, favor_precision: bool = False
+    element: Element, text: str, favor_precision: bool = False,
+    links: Optional[list[Element]] = None,
 ) -> tuple[bool, list[str]]:
-    "Boilerplate predicate for link-rich sections (htmlprocessing.py:126-172)."
-    links = element.findall(".//ref")
-    if not links:
-        return False, []
-    if element.find(".//graphic") is not None:
-        return False, []
+    """Boilerplate predicate for link-rich sections (htmlprocessing.py:126-172).
+
+    ``links`` may carry the pre-collected descendant <ref> list from
+    ``_subtree_link_info`` (the graphic early-exit is then the caller's
+    job); with the default None the original self-contained scans run."""
+    if links is None:
+        links = element.findall(".//ref")
+        if not links:
+            return False, []
+        if element.find(".//graphic") is not None:
+            return False, []
     mylist: list[str] = []
     if len(links) == 1:
         len_threshold = 10 if favor_precision else 100
@@ -160,10 +208,10 @@ def link_density_test(
 
 def link_density_test_tables(element: Element) -> bool:
     "Boilerplate predicate for link-rich tables (htmlprocessing.py:175-189)."
-    links = element.findall(".//ref")
+    text, links, _ = _subtree_link_info(element)
     if not links:
         return False
-    elemlen = len(trim(element.text_content()))
+    elemlen = len(trim(text))
     if elemlen < 200:
         return False
     linklen, _, _, _ = collect_link_info(links)
@@ -179,8 +227,14 @@ def delete_by_link_density(
     depth_threshold = 1 if favor_precision else 3
 
     for elem in subtree.iter(tagname):
-        elemtext = trim(elem.text_content())
-        result, templist = link_density_test(elem, elemtext, favor_precision)
+        # fused single walk; a node with no <ref> descendants can never be
+        # deleted (link_density_test returns (False, []) and backtracking
+        # requires a non-empty templist), so its text is never needed
+        text, links, has_graphic = _subtree_link_info(elem)
+        if not links or has_graphic:
+            continue
+        elemtext = trim(text)
+        result, templist = link_density_test(elem, elemtext, favor_precision, links)
         if result or (
             backtracking and templist and 0 < len(elemtext) < len_threshold and len(elem) >= depth_threshold
         ):

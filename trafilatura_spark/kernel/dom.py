@@ -431,7 +431,7 @@ class _TreeBuilder(HTMLParser):
         if not data:
             return
         last = self._last
-        cur = self._cur()
+        cur = self._stack[-1]
         if last is not None and last._parent is cur:
             last.tail = (last.tail or "") + data
         else:
@@ -483,7 +483,7 @@ class _TreeBuilder(HTMLParser):
         for k, v in attrs:
             if k not in attrib:
                 attrib[k] = v if v is not None else ""
-        if tag in self._HEAD_TAGS and self._cur() is self.body and not self.body._children and not self._saw_body:
+        if tag in self._HEAD_TAGS and self._stack[-1] is self.body and not self.body._children and not self._saw_body:
             # pre-body metadata element: goes to <head>
             el = Element(tag, attrib)
             self.head.append(el)
@@ -495,7 +495,7 @@ class _TreeBuilder(HTMLParser):
             return
         self._implied_close(tag)
         el = Element(tag, attrib)
-        self._cur().append(el)
+        self._stack[-1].append(el)
         if tag in VOID_ELEMENTS:
             self._last = el
         else:
@@ -511,7 +511,7 @@ class _TreeBuilder(HTMLParser):
                     attrib[k] = v if v is not None else ""
             self._implied_close(tag)
             el = Element(tag, attrib)
-            self._cur().append(el)
+            self._stack[-1].append(el)
             self._last = el
 
     def handle_endtag(self, tag: str) -> None:

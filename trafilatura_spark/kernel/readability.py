@@ -12,6 +12,7 @@ leniently when the result is shorter than ``retry_length``.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Optional
 
 from .dom import Element, delete_element
@@ -47,6 +48,23 @@ VIDEO_RE = re.compile(r"https?:\/\/(?:www\.)?(?:youtube|vimeo)\.com", re.I)
 
 def _text_length(elem: Element) -> int:
     return len(trim(elem.text_content()))
+
+
+@lru_cache(maxsize=16384)
+def _unlikely_attrs(attrs: str) -> bool:
+    "Memoized UNLIKELY/MAYBE verdict — class/id strings repeat across a page."
+    return UNLIKELY_RE.search(attrs) is not None and MAYBE_RE.search(attrs) is None
+
+
+@lru_cache(maxsize=16384)
+def _attr_weight(attribute: str) -> int:
+    "Memoized per-attribute-string class weight contribution."
+    weight = 0
+    if NEGATIVE_RE.search(attribute):
+        weight -= 25
+    if POSITIVE_RE.search(attribute):
+        weight += 25
+    return weight
 
 
 class _Candidate:
@@ -157,10 +175,7 @@ class ReadabilityExtractor:
     def _class_weight(self, elem: Element) -> float:
         weight = 0
         for attribute in filter(None, (elem.get("class"), elem.get("id"))):
-            if NEGATIVE_RE.search(attribute):
-                weight -= 25
-            if POSITIVE_RE.search(attribute):
-                weight += 25
+            weight += _attr_weight(attribute)
         return weight
 
     def _score_node(self, elem: Element) -> _Candidate:
@@ -193,7 +208,7 @@ class ReadabilityExtractor:
                 continue
             if len(attrs) < 2:
                 continue
-            if elem.tag not in FRAME_TAGS and UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
+            if elem.tag not in FRAME_TAGS and _unlikely_attrs(attrs):
                 delete_element(elem)
 
     def _transform_misused_divs(self) -> None:
