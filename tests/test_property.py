@@ -229,3 +229,24 @@ def test_ttf_cmap_inversion_total_with_sfnt_prefix(data):
     font = struct.pack(">I4H", 0x00010000, 1, 16, 0, 0)
     font += b"cmap" + struct.pack(">3I", 0, 28, len(data)) + data
     assert isinstance(_ttf_unicode_by_gid(font), dict)
+
+
+@given(html_fragment())
+@settings(max_examples=150, deadline=None)
+def test_subtree_link_info_equivalence(fragment):
+    """The fused link-density walk must agree exactly with the three
+    separate scans it replaced (text_content / findall('.//ref') /
+    find('.//graphic')) on arbitrary converted trees."""
+    from trafilatura_spark.kernel.cleaning import _subtree_link_info, convert_tags
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.kernel.settings import DEFAULT_OPTIONS
+
+    tree = load_html("<html><body><div id='x'>" + fragment + "</div></body></html>")
+    if tree is None:
+        return
+    tree = convert_tags(tree, DEFAULT_OPTIONS)  # produces <ref>/<graphic> vocabulary
+    for root in [tree] + tree.findall(".//ref")[:3] + [tree.find(".//cell") or tree]:
+        text, links, has_graphic = _subtree_link_info(root)
+        assert text == root.text_content()
+        assert links == root.findall(".//ref")
+        assert has_graphic == (root.find(".//graphic") is not None)
