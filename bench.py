@@ -102,6 +102,14 @@ BENCH_QUERIES = [
     "dedup_decontaminate",
     "text_unigram_logprob",
     "text_chunks",
+    # round-6 pipeline operators: URL canonicalization, C4 cleaning and
+    # PII scrubbing (all zero-shuffle projections — benched so per-row
+    # regex cost is a number) and corpus-level line dedup (census
+    # broadcast + regroup — the only shuffling round-6 op)
+    "url_normalize",
+    "text_quality_c4",
+    "text_pii_scrub",
+    "dedup_lines",
 ]
 
 
@@ -515,7 +523,12 @@ def metadata_scaling_pair(n_convs: int, low: int, high: int, ref_bw: tuple = Non
 
 
 def main() -> None:
-    from trafilatura_spark.queries import SPARK_QUERIES
+    # benched queries may live in either tier: the driver-sampled registry
+    # or the validation tier (retired-from-driver-window entries keep
+    # their bench history here)
+    from trafilatura_spark.queries import SPARK_QUERIES, VALIDATION_QUERIES
+
+    ALL_QUERIES = {**SPARK_QUERIES, **VALIDATION_QUERIES}
 
     timings: dict = {}
     spark = make_spark(CPUS)
@@ -534,7 +547,7 @@ def main() -> None:
         "bandwidth_gbs": round(bandwidth_throughput(CPUS), 2),
     }
     for name in BENCH_QUERIES:
-        fn = SPARK_QUERIES[name]
+        fn = ALL_QUERIES[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()

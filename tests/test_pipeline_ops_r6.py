@@ -1,0 +1,200 @@
+"""Round-6 pipeline operators: URL normalization/filtering, C4 cleaning,
+PII scrubbing, corpus-level line dedup.
+
+Each operator's value semantics are driver-gated by its DuckDB twin
+(tools/check_oracle.py); these tests pin the EDGE cases the synthetic
+corpus can't reach (invalid URLs, all-boilerplate documents, empty
+text) and the parity between the Spark column expression and the
+kernel's Python normalize_url (kernel/metadata.py:141)."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# --- URL normalization -------------------------------------------------------
+
+URL_CASES = [
+    # (raw, expected_norm)
+    ("HTTP://WWW.Ex.COM:80/a/index.html?utm_source=x&b=2&a=1", "http://www.ex.com/a/?a=1&b=2"),
+    ("https://Ex.com:443/path/?gclid=123&q=term#frag", "https://ex.com/path/?q=term"),
+    ("https://ex.com/app#!route/42", "https://ex.com/app#!route/42"),
+    ("https://ex.com/x?sessionid=abc&SID=1", "https://ex.com/x"),  # session ids match case-insensitively
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
+    ("not a url", "not a url"),  # invalid: untouched passthrough
+    ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),  # relative: untouched
+]
+
+
+def test_normalize_url_col_cases(spark):
+    from trafilatura_spark.operators.urltools import normalize_url_col
+
+    df = spark.createDataFrame([Row(url=raw) for raw, _ in URL_CASES])
+    got = [r[0] for r in df.select(normalize_url_col(F.col("url"))).collect()]
+    assert got == [exp for _, exp in URL_CASES]
+
+
+def test_normalize_url_col_matches_kernel(spark):
+    """The Spark column expression and kernel/metadata.py:normalize_url
+    agree on absolute URLs without query params (the kernel keeps param
+    ORDER — reference courlan behavior at the metadata callsite — while
+    the column op sorts params for dedup-key stability, so the parity
+    set is the param-free grammar both implement identically)."""
+    from trafilatura_spark.kernel.metadata import normalize_url
+    from trafilatura_spark.operators.urltools import normalize_url_col
+
+    urls = [
+        "HTTP://WWW.Ex.COM:80/Some/Path",
+        "https://ex.com:443/a",
+        "https://sub.EX.com/a#section",
+        "https://ex.com/a#!page=2",
+        "http://ex.com:8080/keep/port",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    got = [r[0] for r in df.select(normalize_url_col(F.col("url"))).collect()]
+    # the kernel keeps /index.html (courlan scrubs it on the CLI path
+    # only), so compare on the shared rule set: scheme/host/port/fragment
+    assert got == [normalize_url(u) for u in urls]
+
+
+def test_normalize_urls_flags(spark):
+    from trafilatura_spark.operators.urltools import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://ex.com/blog/page/3/"),
+            Row(doc_id=2, url="https://ex.com/login?next=/"),
+            Row(doc_id=3, url="https://ex.com/article?page=2"),
+            Row(doc_id=4, url="https://ex.com/fine"),
+            Row(doc_id=5, url="garbage"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in normalize_urls(df).collect()}
+    assert rows[1]["is_navigation"] and not rows[1]["keep"]
+    assert rows[2]["is_not_crawlable"] and not rows[2]["keep"]
+    assert rows[3]["is_navigation"]
+    assert rows[4]["keep"] and rows[4]["host"] == "ex.com"
+    assert rows[5]["host"] == "" and not rows[5]["keep"]
+
+
+# --- C4 cleaning -------------------------------------------------------------
+
+def test_quality_c4_edge_cases(spark):
+    from trafilatura_spark.operators.textstats import quality_c4
+
+    good = "\n".join(
+        [
+            "This is a perfectly fine first sentence with enough words.",
+            "Here is another sentence that also terminates properly.",
+            "And a third sentence keeps the document above the floor.",
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=""),  # empty doc: nothing kept, not a crash
+            Row(doc_id=3, text=good + "\nPlease enable JavaScript to continue viewing."),
+            Row(doc_id=4, text=good.replace("third", "{third}")),  # brace: doc dropped
+            Row(doc_id=5, text="One good sentence is simply not enough here."),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in quality_c4(docs).collect()}
+    assert rows[1]["c4_keep"] and rows[1]["n_kept_lines"] == 3 and rows[1]["n_sentences"] == 3
+    assert rows[2]["n_kept_lines"] == 0 and rows[2]["clean_text"] == "" and not rows[2]["c4_keep"]
+    # the javascript line is removed but the doc survives (3 clean sentences)
+    assert rows[3]["n_kept_lines"] == 3 and rows[3]["c4_keep"]
+    assert not rows[4]["c4_keep"]  # brace rule fires even though lines are clean
+    assert rows[5]["n_kept_lines"] == 1 and not rows[5]["c4_keep"]  # < 3 sentences
+
+
+def test_quality_c4_duckdb_twin_on_edge_corpus(spark):
+    "The SQL twin reproduces the Spark verdicts on a hand-built corpus."
+    from trafilatura_spark.operators.textstats import quality_c4, quality_c4_sql
+
+    texts = [
+        "A first proper sentence for the corpus here.\nshort\nA second one arrives with words.\nAnd a third closes it out properly.",
+        "Lorem Ipsum dolor sit amet is the classic filler text sentence.\nAnother fine sentence follows it here.\nA third sentence completes the set.",
+        "no terminal punctuation at all",
+    ]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["doc_id"]: (r["n_kept_lines"], r["n_sentences"], r["c4_keep"], r["clean_text"])
+        for r in quality_c4(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    # twin columns: doc_id, n_lines, n_kept_lines, n_sentences, clean_text, c4_keep
+    want = {
+        r[0]: (r[2], r[3], r[5], r[4])
+        for r in con.execute(quality_c4_sql("text", "docs")).fetchall()
+    }
+    assert got == want
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+def test_scrub_pii(spark):
+    from trafilatura_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Mail a.b-c+tag@sub.example.co.uk or call +44-207-9460123 from 10.0.0.1."),
+            Row(doc_id=2, text="No pii in this one at all."),
+            Row(doc_id=3, text="Version 1.2.3.4 of the spec."),  # version strings DO match the ipv4 shape
+        ]
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["scrubbed_text"] == "Mail <EMAIL> or call <PHONE> from <IP>."
+    assert not rows[2]["has_pii"] and rows[2]["scrubbed_text"] == "No pii in this one at all."
+    assert rows[3]["n_ips"] == 1  # documented false-positive class: dotted quads
+
+
+# --- corpus-level line dedup ---------------------------------------------------
+
+def test_line_dedup_all_boilerplate_doc_survives(spark):
+    "A doc whose EVERY line is boilerplate keeps a row with kept_text=''."
+    from trafilatura_spark.operators.dedup import line_dedup
+
+    footer = "All rights reserved."
+    promo = "Subscribe now."
+    rows = [Row(doc_id=i, text=f"{footer}\nUnique line {i}.\n{promo}") for i in range(12)]
+    rows.append(Row(doc_id=99, text=f"{footer}\n{promo}"))  # all boilerplate
+    out = {r["doc_id"]: r for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=10).collect()}
+    assert len(out) == 13
+    assert out[99]["n_kept"] == 0 and out[99]["kept_text"] == "" and out[99]["n_removed"] == 2
+    assert out[3]["n_kept"] == 1 and out[3]["kept_text"] == "Unique line 3."
+    assert out[3]["n_removed"] == 2
+
+
+def test_line_dedup_keeps_order_and_threshold(spark):
+    from trafilatura_spark.operators.dedup import line_dedup
+
+    # 5 docs share a line — below min_doc_freq=10 — nothing is removed,
+    # and multi-line reassembly preserves original line order
+    rows = [Row(doc_id=i, text=f"alpha {i}\nshared line\nomega {i}") for i in range(5)]
+    out = {r["doc_id"]: r for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=10).collect()}
+    assert all(r["n_removed"] == 0 for r in out.values())
+    assert out[2]["kept_text"] == "alpha 2\nshared line\nomega 2"
+
+    # same corpus at min_doc_freq=5: the shared line goes
+    out = {r["doc_id"]: r for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=5).collect()}
+    assert all(r["n_removed"] == 1 for r in out.values())
+    assert out[2]["kept_text"] == "alpha 2\nomega 2"
+
+
+def test_line_dedup_duplicate_line_within_one_doc(spark):
+    "A line repeated WITHIN one doc counts once toward doc frequency."
+    from trafilatura_spark.operators.dedup import line_dedup
+
+    rows = [Row(doc_id=1, text="x\nx\nx\nbody one"), Row(doc_id=2, text="x\nbody two")]
+    out = {r["doc_id"]: r for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=3).collect()}
+    # doc frequency of "x" is 2 (< 3): kept everywhere, duplicates intact
+    assert out[1]["kept_text"] == "x\nx\nx\nbody one" and out[1]["n_removed"] == 0

@@ -202,6 +202,29 @@ def main() -> int:
     p = plan_of(Q.q_events_grouping_sets(spark, sf_dir))
     check("grouping sets single Expand no Union", "Expand" in p and "Union" not in p)
 
+    # round-6 pipeline operators: URL normalization, C4 cleaning and PII
+    # scrubbing are pure projections — zero Exchange, zero Python
+    for name, fn in (
+        ("url normalize", Q.url_normalize),
+        ("c4 quality", Q.text_quality_c4),
+        ("pii scrub", Q.text_pii_scrub),
+    ):
+        p = plan_of(fn(spark, sf_dir))
+        check(f"{name} shuffle-free (no Exchange)", "Exchange" not in p)
+        check(f"{name} no Python stage", "Python" not in p and "MapInPandas" not in p)
+
+    # line dedup: the boilerplate census must partial-aggregate map-side
+    # before its exchange, and the census must join back via BROADCAST so
+    # the corpus-sized line table never shuffles for the join — the only
+    # exchanges are the census agg + the per-document regroup
+    p = plan_of(Q.dedup_lines(spark, sf_dir))
+    check("line dedup census broadcast join", "BroadcastHashJoin" in p or "BroadcastExchange" in p)
+    check("line dedup map-side partial agg", "partial_" in p)
+    check(
+        "line dedup no Python / no cartesian",
+        "Python" not in p and "CartesianProduct" not in p,
+    )
+
     spark.stop()
     failures = [n for n, ok in CHECKS if not ok]
     print(f"{len(CHECKS) - len(failures)}/{len(CHECKS)} plan assertions hold")

@@ -750,3 +750,102 @@ def hash_split_sql(
     SELECT {id_col}, CASE {' '.join(whens)} ELSE '{last}' END AS split
     FROM (SELECT {id_col}, {u} AS u FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line deduplication (the RefinedWeb / CCNet boilerplate
+# pass): a line that recurs across >= min_doc_freq DISTINCT documents is
+# template boilerplate (nav text, subscribe prompts, legal footers) and
+# is removed from every document; genuinely unique prose survives.
+
+
+def line_dedup(
+    df: DataFrame,
+    min_doc_freq: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove lines that occur in >= min_doc_freq distinct documents.
+
+    Output per document: (id, n_lines, n_kept, n_removed, kept_text) —
+    every input document keeps a row even when ALL its lines are
+    boilerplate (kept_text = '').
+
+    100 TB shape — exactly two shuffles, both on purpose:
+      1. the boilerplate-line census: explode -> partial-agg
+         countDistinct per line hash (map-side combine shrinks it to
+         one row per distinct line BEFORE the exchange), filtered to
+         the tiny >= min_doc_freq survivor set;
+      2. the per-document regroup of surviving lines.
+    The census result is broadcast back (heavy hitters are few by
+    definition), so the corpus-sized side never shuffles for the join
+    and AQE can split any skewed regroup partition.  Lines are matched
+    by 128-bit md5 so the broadcast carries hashes, not strings."""
+    lh = F.md5(F.col("line"))
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    boiler = (
+        lines.select(lh.alias("lh"), F.col(id_col))
+        .groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("docfreq"))
+        .filter(F.col("docfreq") >= min_doc_freq)
+        .select("lh", F.lit(True).alias("boiler"))
+    )
+    marked = lines.join(F.broadcast(boiler), lh == boiler.lh, "left").drop("lh")
+    kept_struct = F.when(F.col("boiler").isNull(), F.struct("idx", "line"))
+    return (
+        marked.groupBy(id_col, "n_lines")
+        .agg(
+            # collect_list skips NULLs: boilerplate lines drop out here
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("kept_text"),
+            F.sum(F.when(F.col("boiler").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+        )
+        .select(
+            id_col,
+            F.col("n_lines").cast("int"),
+            (F.col("n_lines") - F.col("n_removed")).cast("int").alias("n_kept"),
+            "n_removed",
+            "kept_text",
+        )
+    )
+
+
+def line_dedup_sql(
+    text_expr: str,
+    from_clause: str = "documents",
+    min_doc_freq: int = 10,
+    id_col: str = "doc_id",
+) -> str:
+    "DuckDB twin of line_dedup (identical split, census rule, reassembly)."
+    return f"""
+    WITH base AS (SELECT {id_col}, {text_expr} AS text FROM {from_clause}),
+    lines AS (
+      SELECT {id_col},
+             len(string_split(text, chr(10))) AS n_lines,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+      FROM base
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT {id_col}) >= {min_doc_freq}
+    )
+    SELECT l.{id_col},
+           CAST(l.n_lines AS INT) AS n_lines,
+           CAST(l.n_lines - COUNT(b.line) AS INT) AS n_kept,
+           CAST(COUNT(b.line) AS INT) AS n_removed,
+           COALESCE(string_agg(l.line, chr(10) ORDER BY l.idx)
+                    FILTER (WHERE b.line IS NULL), '') AS kept_text
+    FROM lines l LEFT JOIN boiler b USING (line)
+    GROUP BY l.{id_col}, l.n_lines
+    """

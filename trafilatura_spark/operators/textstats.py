@@ -723,3 +723,142 @@ def chunk_documents_sql(
            CAST(LEAST(n - i * {stride}, {chunk_tokens}) AS INT) AS n_tokens
     FROM idx
     """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document cleaning (Raffel et al. 2020, §2.2: the public
+# "Colossal Clean Crawled Corpus" heuristics) — the post-extraction
+# cleaning pass a training pipeline runs over the text the cascade
+# produced.  All rules are JVM column expressions with a DuckDB twin.
+
+# a kept line must end in terminal punctuation (period / ! / ? / quote)
+_C4_TERMINAL_RE = r'[.!?"]$'
+# lines carrying js prompts or policy boilerplate are dropped outright
+_C4_BAD_LINE_RE = r"(javascript|cookie policy|privacy policy|terms of use|uses cookies)"
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_SENTENCES = 3
+
+
+def quality_c4(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C4 cleaning verdict per document, entirely JVM-side.
+
+    Line rules (a line survives iff ALL hold): ends in terminal
+    punctuation, has >= 5 whitespace words, and carries no
+    javascript/policy boilerplate.  Document rules: drop when the raw
+    text contains '{' (leaked code), contains 'lorem ipsum', or fewer
+    than 3 sentences survive the line pass.  Output keeps the cleaned
+    text alongside the verdict so the caller can filter OR inspect.
+
+    100 TB shape: one narrow projection over the text column — zero
+    shuffle, zero Python, pipelined into the scan (plan-asserted)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+
+    def _line_ok(line):
+        t = F.trim(line)
+        return (
+            t.rlike(_C4_TERMINAL_RE)
+            & (F.size(F.split(t, r"\s+")) >= _C4_MIN_LINE_WORDS)
+            & ~F.lower(t).rlike(_C4_BAD_LINE_RE)
+        )
+
+    kept = F.transform(F.filter(lines, _line_ok), F.trim)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    doc_bad = text.contains("{") | F.lower(text).contains("lorem ipsum")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sentences.cast("int").alias("n_sentences"),
+        kept_text.alias("clean_text"),
+        (~doc_bad & (n_sentences >= _C4_MIN_SENTENCES)).alias("c4_keep"),
+    )
+
+
+def quality_c4_sql(
+    text_expr: str, from_clause: str = "documents", id_col: str = "doc_id"
+) -> str:
+    "DuckDB twin of quality_c4 (identical regexes, word rule, thresholds)."
+    return f"""
+    WITH base AS (SELECT {id_col}, {text_expr} AS text FROM {from_clause}),
+    kept AS (
+      SELECT {id_col}, text,
+             len(string_split(text, chr(10))) AS n_lines,
+             list_transform(
+               list_filter(string_split(text, chr(10)),
+                 x -> regexp_matches(trim(x), '{_C4_TERMINAL_RE}')
+                      AND len(regexp_split_to_array(trim(x), '\\s+')) >= {_C4_MIN_LINE_WORDS}
+                      AND NOT regexp_matches(lower(trim(x)), '{_C4_BAD_LINE_RE}')),
+               x -> trim(x)) AS kept_lines
+      FROM base
+    )
+    SELECT {id_col},
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(len(kept_lines) AS INT) AS n_kept_lines,
+           -- COALESCE: DuckDB's array_to_string over an empty list is
+           -- NULL where Spark's array_join is '' — same doc, same ''
+           CAST(len(regexp_extract_all(COALESCE(array_to_string(kept_lines, chr(10)), ''), '[.!?]')) AS INT)
+             AS n_sentences,
+           COALESCE(array_to_string(kept_lines, chr(10)), '') AS clean_text,
+           NOT (contains(text, '{{') OR contains(lower(text), 'lorem ipsum'))
+             AND len(regexp_extract_all(COALESCE(array_to_string(kept_lines, chr(10)), ''), '[.!?]'))
+                 >= {_C4_MIN_SENTENCES} AS c4_keep
+    FROM kept
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass public training pipelines (e.g. the
+# BigScience ROOTS corpus tooling) run before tokenization: emails, bare
+# IPv4 addresses and international phone numbers are replaced by typed
+# placeholder tokens.  Patterns are RE2-compatible (no lookarounds) so
+# the Spark and DuckDB sides compile the IDENTICAL regex.  Replacement
+# runs email -> ip -> phone, counts are taken on the ORIGINAL text.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{4,8}"
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone numbers with <EMAIL>/<IP>/<PHONE>.
+
+    100 TB shape: pure projection (three regexp_replace passes fused by
+    codegen into one scan over the string) — zero shuffle, zero Python."""
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_ips = F.regexp_count(text, F.lit(PII_IPV4_RE))
+    n_phones = F.regexp_count(text, F.lit(PII_PHONE_RE))
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+        ((n_emails + n_ips + n_phones) > 0).alias("has_pii"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def scrub_pii_sql(
+    text_expr: str, from_clause: str = "documents", id_col: str = "doc_id"
+) -> str:
+    "DuckDB twin of scrub_pii (identical RE2-compatible patterns + order)."
+    return f"""
+    WITH base AS (SELECT {id_col}, {text_expr} AS text FROM {from_clause})
+    SELECT {id_col},
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+           len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+             + len(regexp_extract_all(text, '{PII_PHONE_RE}')) > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IPV4_RE}', '<IP>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text
+    FROM base
+    """

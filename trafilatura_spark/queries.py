@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import textstats as T
+from .operators import urltools as U
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1185,6 +1186,171 @@ def extract_tier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-6 pipeline operators over deterministic synthetic inputs ---------
+# The documents table is single-line word salad, so line- and URL-shaped
+# inputs are synthesized per doc from (doc_id, source, text) with the
+# SAME expression on both engines (the established extract_documents_*
+# pattern); the operator under test then runs on that synthetic column.
+
+_C4_SHORT = "Short note"
+_C4_JS = "Please enable javascript to view the comments on this page."
+_C4_LOREM = "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+_C4_CODE = 'var config = { "mode": "dark" };'
+_C4_FOX = "The quick brown fox jumps over the lazy dog."
+_C4_CLOSE = "A second closing sentence keeps longer documents above the sentence floor."
+
+
+def _sq(s: str) -> str:
+    "SQL single-quoted literal."
+    return "'" + s.replace("'", "''") + "'"
+
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """courlan-family URL canonicalization + frontier flags over a dirty
+    synthetic URL per document (uppercased scheme/host, default ports,
+    tracking/session params, unsorted params, fragments, /index.html
+    pages, paging paths, login paths — every rule gets rows)."""
+    from .operators.urltools import normalize_urls
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.when(d % 17 == 0, F.lit("/login"))
+        .when(d % 5 == 0, F.concat(F.lit("/blog/page/"), (d % 7 + 2).cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/Articles/item-"), d.cast("string"), F.lit("/index.html"))),
+        F.lit("?utm_source=rss&id="),
+        d.cast("string"),
+        F.lit("&utm_medium=feed"),
+        F.when(d % 3 == 0, F.lit("&sessionid=DEADBEEF")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#comments-section"))
+        .when(d % 6 == 3, F.lit("#!page=2"))
+        .otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return normalize_urls(docs)
+
+
+_URL_SYNTH_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+|| '://WWW.' || source || '.Example.COM'
+|| CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+|| CASE WHEN doc_id % 17 = 0 THEN '/login'
+        WHEN doc_id % 5 = 0 THEN '/blog/page/' || (doc_id % 7 + 2) || '/'
+        ELSE '/Articles/item-' || doc_id || '/index.html' END
+|| '?utm_source=rss&id=' || doc_id || '&utm_medium=feed'
+|| CASE WHEN doc_id % 3 = 0 THEN '&sessionid=DEADBEEF' ELSE '' END
+|| CASE WHEN doc_id % 4 = 0 THEN '&b=2&a=1' ELSE '' END
+|| CASE WHEN doc_id % 6 = 0 THEN '#comments-section'
+        WHEN doc_id % 6 = 3 THEN '#!page=2' ELSE '' END
+"""
+
+
+def text_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/document cleaning over synthetic multi-line documents:
+    proper sentences, unterminated word salad, short notes, javascript
+    prompts (doc_id%7), lorem ipsum (%13), code braces (%11), and an
+    even-doc closing sentence so the 3-sentence floor splits the corpus."""
+    from .operators.textstats import quality_c4
+
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Document "), d.cast("string"), F.lit(" from "), F.col("source"),
+            F.lit(" covers the usual analytics topics in depth."),
+        ),
+        F.col("text"),
+        F.lit(_C4_SHORT),
+        F.when(d % 7 == 0, F.lit(_C4_JS)),
+        F.when(d % 13 == 0, F.lit(_C4_LOREM)),
+        F.when(d % 11 == 0, F.lit(_C4_CODE)),
+        F.lit(_C4_FOX),
+        F.when(d % 2 == 0, F.lit(_C4_CLOSE)),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return quality_c4(docs)
+
+
+_C4_SYNTH_SQL = f"""
+concat_ws(chr(10),
+  'Document ' || doc_id || ' from ' || source || ' covers the usual analytics topics in depth.',
+  text,
+  {_sq(_C4_SHORT)},
+  CASE WHEN doc_id % 7 = 0 THEN {_sq(_C4_JS)} END,
+  CASE WHEN doc_id % 13 = 0 THEN {_sq(_C4_LOREM)} END,
+  CASE WHEN doc_id % 11 = 0 THEN {_sq(_C4_CODE)} END,
+  {_sq(_C4_FOX)},
+  CASE WHEN doc_id % 2 = 0 THEN {_sq(_C4_CLOSE)} END)
+"""
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents salted with synthetic emails, IPv4
+    addresses and (for doc_id%5) phone numbers ahead of the word salad."""
+    from .operators.textstats import scrub_pii
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("Contact author"), d.cast("string"),
+        F.lit("@example.com or the editors at press@Example-Media.org. "),
+        F.lit("Origin host 10.0."), (d % 250).cast("string"),
+        F.lit("."), (d % 100).cast("string"),
+        F.lit(" proxied via 192.168.1.1. "),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("Call +1-555-01"), F.lpad((d % 100).cast("string"), 2, "0"), F.lit(" now. ")),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return scrub_pii(docs)
+
+
+_PII_SYNTH_SQL = """
+'Contact author' || doc_id || '@example.com or the editors at press@Example-Media.org. '
+|| 'Origin host 10.0.' || (doc_id % 250) || '.' || (doc_id % 100)
+|| ' proxied via 192.168.1.1. '
+|| CASE WHEN doc_id % 5 = 0
+        THEN 'Call +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now. '
+        ELSE '' END
+|| text
+"""
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal: every document carries a
+    per-source subscribe line, a global legal footer, a %3 social line
+    and one unique content line; lines recurring in >= 10 distinct
+    documents are removed (so the same query exercises both removal at
+    sf>=0.01 and the below-threshold keep path at sf0.001)."""
+    from .operators.dedup import line_dedup
+
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Subscribe to the "), F.col("source"), F.lit(" newsletter for updates.")),
+        F.concat(F.lit("Unique insight "), d.cast("string"), F.lit(": "), F.col("text")),
+        F.lit("All rights reserved by the publisher."),
+        F.when(d % 3 == 0, F.lit("Follow us on social media today.")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return line_dedup(docs, min_doc_freq=10)
+
+
+_LINES_SYNTH_SQL = """
+concat_ws(chr(10),
+  'Subscribe to the ' || source || ' newsletter for updates.',
+  'Unique insight ' || doc_id || ': ' || text,
+  'All rights reserved by the publisher.',
+  CASE WHEN doc_id % 3 = 0 THEN 'Follow us on social media today.' END)
+"""
+
+
 # --- registry --------------------------------------------------------------------
 
 # The driver samples a bounded window of this registry (50 rows in r5,
@@ -1211,12 +1377,11 @@ SPARK_QUERIES = {
     "extract_documents_with_metadata": extract_documents_with_metadata,
     # training-pipeline: dedup
     "dedup_exact_prefix": dedup_exact_prefix,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_prod": dedup_minhash_lsh_prod,
     "dedup_clusters": dedup_clusters,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_hash_split": dedup_hash_split,
-    "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
+    "dedup_lines": dedup_lines,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     # training-pipeline: similarity search
@@ -1230,21 +1395,22 @@ SPARK_QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_quality_gopher": text_quality_gopher,
     "text_quality_repetition": text_quality_repetition,
+    "text_quality_c4": text_quality_c4,
+    "text_pii_scrub": text_pii_scrub,
     "text_unigram_logprob": text_unigram_logprob,
     "text_chunks": text_chunks,
+    "url_normalize": url_normalize,
     # relational shell
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_events_sessions": q_events_sessions,
-    "q_events_daily": q_events_daily,
     "q_customers_without_orders": q_customers_without_orders,
     "q_rollup_returns": q_rollup_returns,
     "q_events_grouping_sets": q_events_grouping_sets,
     "q_events_funnel": q_events_funnel,
     "q_events_asof_orders": q_events_asof_orders,
-    "q_events_asof_nulls": q_events_asof_nulls,
     "q_order_percentiles": q_order_percentiles,
     "q_orders_priority_exists": q_orders_priority_exists,
     "q_repeat_customers_setop": q_repeat_customers_setop,
@@ -1261,12 +1427,23 @@ SPARK_QUERIES = {
 #  - dedup_exact: returns 0 rows at sf0.01 (no duplicate full texts), so
 #    its driver row carried no value evidence; unit tests + the prefix
 #    variant cover the md5-groupBy shape
+#  - retired in r6 to make room for the new pipeline operators
+#    (url_normalize, text_quality_c4, text_pii_scrub, dedup_lines):
+#    dedup_minhash_lsh (gate config; the production 128/32 config keeps
+#    its driver row), dedup_jaccard_via_lsh (subsumed by the LSH pair
+#    queries), q_events_daily (plain date agg; rollup + grouping sets
+#    keep richer agg evidence), q_events_asof_nulls (edge-twin of the
+#    still-sampled q_events_asof_orders)
 VALIDATION_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_via_lsh": dedup_jaccard_via_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_lsh_topk": ann_lsh_topk,
+    "q_events_daily": q_events_daily,
+    "q_events_asof_nulls": q_events_asof_nulls,
 }
 
 ORACLE_SQL = {
@@ -1275,27 +1452,24 @@ ORACLE_SQL = {
     "q5_supplier_volume": Q5_SQL,
     "q_top_orders_per_customer": Q_TOPORDERS_SQL,
     "q_events_sessions": Q_SESSIONS_SQL,
-    "q_events_daily": Q_EVENTS_DAILY_SQL,
     "q_customers_without_orders": Q_ANTI_SQL,
     "q_rollup_returns": Q_ROLLUP_SQL,
     "q_events_grouping_sets": Q_EVENTS_GROUPING_SETS_SQL,
     "q_events_funnel": Q_FUNNEL_SQL,
     "q_events_asof_orders": Q_ASOF_SQL,
-    "q_events_asof_nulls": Q_ASOF_NULLS_SQL,
     "q_order_percentiles": Q_PERCENTILES_SQL,
     "q_orders_priority_exists": Q_EXISTS_SQL,
     "q_repeat_customers_setop": Q_SETOP_SQL,
     "q_small_quantity_revenue": Q_SCALAR_SUBQ_SQL,
     "q_customer_value_deciles": Q_DECILES_SQL,
     "dedup_exact_prefix": D.exact_dedup_sql(prefix=40),
-    "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
     "dedup_minhash_lsh_prod": D.minhash_lsh_pairs_sql(
         num_hashes=D.PRODUCTION_NUM_HASHES, bands=D.PRODUCTION_BANDS
     ),
     "dedup_clusters": D.dedup_clusters_sql(),
     "dedup_decontaminate": D.benchmark_contamination_sql(),
     "dedup_hash_split": D.hash_split_sql(rates={"train": 0.8, "valid": 0.1, "test": 0.1}),
-    "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
+    "dedup_lines": D.line_dedup_sql(_LINES_SYNTH_SQL, "documents", min_doc_freq=10),
     "dedup_simhash_pairs": D.simhash_pairs_sql(),
     "text_token_stats": T.token_stats_sql(),
     "text_lang_id": T.lang_id_sql(),
@@ -1318,8 +1492,11 @@ ORACLE_SQL = {
     "ann_ivf_topk": S.ivf_topk_sql(),
     "text_quality_gopher": T.quality_gopher_sql(),
     "text_quality_repetition": T.quality_repetition_sql(),
+    "text_quality_c4": T.quality_c4_sql(_C4_SYNTH_SQL, "documents"),
+    "text_pii_scrub": T.scrub_pii_sql(_PII_SYNTH_SQL, "documents"),
     "text_unigram_logprob": T.unigram_logprob_sql(),
     "text_chunks": T.chunk_documents_sql(chunk_tokens=64, overlap=16),
+    "url_normalize": U.normalize_urls_sql(_URL_SYNTH_SQL, "documents"),
     "dedup_embedding_cosine": S.embedding_neardup_pairs_sql(threshold=0.4, dims_per_table=4),
     "extract_documents_html": EXTRACT_DOCS_SQL,
     "extract_documents_article": EXTRACT_DOCS_ARTICLE_SQL,
@@ -1361,6 +1538,10 @@ ORACLE_SQL = {
 # by tools/check_oracle.py --with-validation and the test suite):
 VALIDATION_ORACLE_SQL = {
     "dedup_exact": D.exact_dedup_sql(),
+    "dedup_minhash_lsh": D.minhash_lsh_pairs_sql(),
+    "dedup_jaccard_via_lsh": D.ngram_jaccard_via_lsh_sql(threshold=0.5),
+    "q_events_daily": Q_EVENTS_DAILY_SQL,
+    "q_events_asof_nulls": Q_ASOF_NULLS_SQL,
     "dedup_minhash": D.minhash_signatures_sql(),
     "dedup_ngram_jaccard": D.ngram_jaccard_pairs_sql(threshold=0.5),
     "dedup_simhash": D.simhash_sql(),
