@@ -198,3 +198,98 @@ def test_line_dedup_duplicate_line_within_one_doc(spark):
     out = {r["doc_id"]: r for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=3).collect()}
     # doc frequency of "x" is 2 (< 3): kept everywhere, duplicates intact
     assert out[1]["kept_text"] == "x\nx\nx\nbody one" and out[1]["n_removed"] == 0
+
+
+# --- post-assembly pipeline (tools/submit_extract.py stages) -------------------
+
+def test_postprocess_conversations_pipeline(spark):
+    """dedup-lines -> C4 -> PII over assembled conversation documents:
+    the composition the entrypoint's --dedup-lines/--c4-clean/--scrub-pii
+    flags run, with each stage's effect visible in the output."""
+    from trafilatura_spark.operators.extract import postprocess_conversations
+
+    footer = "Generated by the export tool."
+    rows = [
+        Row(
+            conv_id=str(i),
+            n_turns=2,
+            n_kept=2,
+            conversation_text=(
+                f"{footer}\n"
+                f"This conversation number {i} contains a proper sentence.\n"
+                f"Another full sentence numbered {i} keeps the document above the floor.\n"
+                f"And a third one about {i} closes it out for the verdict.\n"
+                f"Reach me at user{i}@example.com please."
+            ),
+        )
+        for i in range(12)
+    ]
+    convs = spark.createDataFrame(rows)
+    out = postprocess_conversations(convs, dedup_lines=10, c4_clean=True, scrub_pii=True)
+    got = {r["conv_id"]: r for r in out.collect()}
+    assert len(got) == 12
+    r = got["3"]
+    # stage 1: the shared footer (12 >= 10 conversations) is gone
+    assert r["n_boilerplate_removed"] == 1 and footer not in r["conversation_text"]
+    # stage 2: C4 keeps the 4 terminal-punctuated sentences, verdict true
+    assert r["c4_keep"] and r["conversation_text"].count("\n") == 3
+    # stage 3: the email was counted then scrubbed
+    assert r["n_pii"] == 1 and "<EMAIL>" in r["conversation_text"]
+    assert "user3@example.com" not in r["conversation_text"]
+
+
+def test_postprocess_conversations_noop_passthrough(spark):
+    "With no stage enabled the frame is returned unchanged."
+    from trafilatura_spark.operators.extract import postprocess_conversations
+
+    convs = spark.createDataFrame(
+        [Row(conv_id="a", n_turns=1, n_kept=1, conversation_text="hello")]
+    )
+    assert postprocess_conversations(convs).collect() == convs.collect()
+
+
+# --- streaming parity -----------------------------------------------------------
+
+def test_streaming_r6_projections_stateless(spark, tmp_path):
+    """URL normalization, C4 cleaning and PII scrubbing are pure
+    projections, so they run NATIVELY under Structured Streaming with no
+    state: stream output must equal the batch run row-for-row."""
+    from trafilatura_spark.operators.textstats import quality_c4, scrub_pii
+    from trafilatura_spark.operators.urltools import normalize_urls
+
+    docs = [
+        (1, "A first fine sentence with enough words here.\nshort\nMail me at a@b.co now please today.",
+         "HTTP://Ex.COM:80/a/index.html?utm_source=x&b=1"),
+        (2, "Second doc sentence one is here now.\nAnd sentence two arrives with words.\nAnd three closes it out now.",
+         "https://ex.com/login"),
+    ]
+    schema = "doc_id long, text string, url string"
+    inp = str(tmp_path / "r6_in")
+    out = str(tmp_path / "r6_out")
+    ckpt = str(tmp_path / "r6_ckpt")
+    batch_df = spark.createDataFrame(docs, schema)
+    batch_df.write.parquet(inp)
+
+    def pipe(df):
+        return (
+            quality_c4(df)
+            .join(scrub_pii(df).select("doc_id", "n_emails", "scrubbed_text"), "doc_id")
+            .join(normalize_urls(df).select("doc_id", "url_norm", "keep"), "doc_id")
+        )
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        pipe(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(out).collect()}
+    want = {r.doc_id: r.asDict() for r in pipe(batch_df).collect()}
+    assert got == want
+    assert got[1]["url_norm"] == "http://ex.com/a/?b=1"
+    assert got[2]["keep"] is False

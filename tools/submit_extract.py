@@ -53,6 +53,17 @@ def main() -> int:
     ap.add_argument("--assemble", action="store_true",
                     help="also write one training document per conversation "
                          "(turn-ordered, discarded turns skipped) to <output>/conversations")
+    ap.add_argument("--dedup-lines", type=int, default=0, metavar="K",
+                    help="with --assemble: remove lines recurring in >= K distinct "
+                         "conversations (boilerplate census) before cleaning; adds "
+                         "n_boilerplate_removed")
+    ap.add_argument("--c4-clean", action="store_true",
+                    help="with --assemble: apply the C4 line rules to each "
+                         "conversation document and add the c4_keep verdict column "
+                         "(no rows are dropped; filter downstream on c4_keep)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="with --assemble: replace emails/IPv4s/phone numbers in the "
+                         "conversation text with typed placeholders; adds n_pii")
     args = ap.parse_args()
     if not args.input and not args.synthetic:
         ap.error("one of --input / --synthetic is required")
@@ -99,11 +110,19 @@ def main() -> int:
         discarded=int(totals.discarded or 0),
     )
     if args.assemble:
-        from trafilatura_spark.operators.extract import assemble_conversations
+        from trafilatura_spark.operators.extract import (
+            assemble_conversations,
+            postprocess_conversations,
+        )
 
         conv_path = os.path.join(args.output, "conversations")
         turns_df = spark.read.parquet(os.path.join(args.output, "data"))
-        convs = assemble_conversations(turns_df)
+        convs = postprocess_conversations(
+            assemble_conversations(turns_df),
+            dedup_lines=args.dedup_lines,
+            c4_clean=args.c4_clean,
+            scrub_pii=args.scrub_pii,
+        )
         convs.write.mode("overwrite").parquet(conv_path)
         summary.update(conversations=spark.read.parquet(conv_path).count())
     print(json.dumps(summary))

@@ -367,3 +367,53 @@ def assemble_conversations(
             ).alias("conversation_text"),
         )
     )
+
+
+def postprocess_conversations(
+    convs: DataFrame,
+    dedup_lines: int = 0,
+    c4_clean: bool = False,
+    scrub_pii: bool = False,
+    text_col: str = "conversation_text",
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Post-assembly cleaning pipeline over conversation documents, in
+    the order a training pipeline runs them: corpus-level boilerplate
+    line removal (``dedup_lines`` = min distinct-conversation frequency;
+    the only shuffling stage) -> C4 line/document rules (adds the
+    ``c4_keep`` verdict, rewrites the text to the surviving lines; rows
+    are never dropped here — filter downstream) -> PII scrubbing (adds
+    ``n_pii``, replaces emails/IPv4s/phones with typed placeholders).
+
+    The C4 and PII stages are pure projections (zero extra shuffle); the
+    exposed entrypoint flags --dedup-lines/--c4-clean/--scrub-pii map
+    1:1 onto the arguments (tools/submit_extract.py)."""
+    text = F.col(text_col)
+    if dedup_lines:
+        from .dedup import line_dedup
+
+        dd = line_dedup(
+            convs.select(F.col(id_col).alias("doc_id"), text.alias("text")),
+            min_doc_freq=dedup_lines,
+        )
+        convs = convs.drop(text_col).join(
+            dd.select(
+                F.col("doc_id").alias(id_col),
+                F.col("kept_text").alias(text_col),
+                F.col("n_removed").alias("n_boilerplate_removed"),
+            ),
+            id_col,
+        )
+    if c4_clean:
+        from .textstats import c4_clean_text, c4_keep
+
+        convs = convs.withColumn("c4_keep", c4_keep(text)).withColumn(
+            text_col, c4_clean_text(text)
+        )
+    if scrub_pii:
+        from .textstats import pii_count, pii_scrubbed
+
+        convs = convs.withColumn("n_pii", pii_count(text).cast("int")).withColumn(
+            text_col, pii_scrubbed(text)
+        )
+    return convs

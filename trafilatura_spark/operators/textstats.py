@@ -739,6 +739,32 @@ _C4_MIN_LINE_WORDS = 5
 _C4_MIN_SENTENCES = 3
 
 
+def c4_kept_lines(text):
+    "Array column of the lines of `text` that survive the C4 line rules."
+
+    def _line_ok(line):
+        t = F.trim(line)
+        return (
+            t.rlike(_C4_TERMINAL_RE)
+            & (F.size(F.split(t, r"\s+")) >= _C4_MIN_LINE_WORDS)
+            & ~F.lower(t).rlike(_C4_BAD_LINE_RE)
+        )
+
+    return F.transform(F.filter(F.split(text, "\n"), _line_ok), F.trim)
+
+
+def c4_clean_text(text):
+    "Cleaned text column: the surviving lines re-joined."
+    return F.array_join(c4_kept_lines(text), "\n")
+
+
+def c4_keep(text):
+    "Boolean column: the C4 document verdict over `text`."
+    n_sentences = F.regexp_count(c4_clean_text(text), F.lit(r"[.!?]"))
+    doc_bad = text.contains("{") | F.lower(text).contains("lorem ipsum")
+    return ~doc_bad & (n_sentences >= _C4_MIN_SENTENCES)
+
+
 def quality_c4(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """C4 cleaning verdict per document, entirely JVM-side.
 
@@ -753,16 +779,7 @@ def quality_c4(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     shuffle, zero Python, pipelined into the scan (plan-asserted)."""
     text = F.col(text_col)
     lines = F.split(text, "\n")
-
-    def _line_ok(line):
-        t = F.trim(line)
-        return (
-            t.rlike(_C4_TERMINAL_RE)
-            & (F.size(F.split(t, r"\s+")) >= _C4_MIN_LINE_WORDS)
-            & ~F.lower(t).rlike(_C4_BAD_LINE_RE)
-        )
-
-    kept = F.transform(F.filter(lines, _line_ok), F.trim)
+    kept = c4_kept_lines(text)
     kept_text = F.array_join(kept, "\n")
     n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
     doc_bad = text.contains("{") | F.lower(text).contains("lorem ipsum")
@@ -821,15 +838,29 @@ PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{3}[ \-][0-9]{4,8}"
 
 
+def pii_scrubbed(text):
+    "Scrubbed text column: emails -> <EMAIL>, IPv4s -> <IP>, phones -> <PHONE>."
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_count(text):
+    "Total count of PII hits (emails + IPv4s + phones) in `text`."
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_RE))
+        + F.regexp_count(text, F.lit(PII_IPV4_RE))
+        + F.regexp_count(text, F.lit(PII_PHONE_RE))
+    )
+
+
 def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Replace emails / IPv4s / phone numbers with <EMAIL>/<IP>/<PHONE>.
 
     100 TB shape: pure projection (three regexp_replace passes fused by
     codegen into one scan over the string) — zero shuffle, zero Python."""
     text = F.col(text_col)
-    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
-    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    scrubbed = pii_scrubbed(text)
     n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
     n_ips = F.regexp_count(text, F.lit(PII_IPV4_RE))
     n_phones = F.regexp_count(text, F.lit(PII_PHONE_RE))
