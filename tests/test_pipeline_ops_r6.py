@@ -79,6 +79,26 @@ def test_normalize_urls_flags(spark):
     assert rows[5]["host"] == "" and not rows[5]["keep"]
 
 
+def test_normalize_urls_domain_and_lang(spark):
+    from trafilatura_spark.operators.urltools import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://www.news.Ex.CO.UK/de/story-1"),
+            Row(doc_id=2, url="https://blog.sub.example.com/post?hl=PT"),
+            Row(doc_id=3, url="https://localhost/x"),
+            Row(doc_id=4, url="https://ex.com/fr"),  # bare 2-letter terminal segment
+            Row(doc_id=5, url="https://ex.com/developer/x"),  # 'de' prefix must NOT match
+        ]
+    )
+    rows = {r["doc_id"]: r for r in normalize_urls(df).collect()}
+    assert rows[1]["domain"] == "ex.co.uk" and rows[1]["url_lang"] == "de"
+    assert rows[2]["domain"] == "example.com" and rows[2]["url_lang"] == "pt"
+    assert rows[3]["domain"] == "localhost" and rows[3]["url_lang"] == ""
+    assert rows[4]["url_lang"] == "fr"
+    assert rows[5]["url_lang"] == ""
+
+
 # --- C4 cleaning -------------------------------------------------------------
 
 def test_quality_c4_edge_cases(spark):

@@ -33,6 +33,17 @@ Filter rules (courlan ``is_navigation_page`` / ``is_not_crawlable``):
     parameter — archive/pagination pages, kept out of content dedup,
   - not crawlable: login/logout/signin/signup/register/admin/cart/
     checkout path steps — session-gated pages a crawler must skip.
+
+Derived columns (courlan ``extract_domain`` / ``lang_filter``):
+  - ``domain``: the registrable domain — the host minus a leading www.,
+    reduced to its last two labels, or three when the second-to-last is
+    a common second-level suffix (co/com/net/org/gov/ac/edu under a
+    two-letter ccTLD).  A full public-suffix list is a data file this
+    build doesn't ship; the heuristic covers the dominant forms and is
+    shared verbatim with the DuckDB twin,
+  - ``url_lang``: the language a crawler can read off the URL itself —
+    a two-letter path prefix (/de/...) or a lang=/hl= query parameter;
+    empty when the URL carries no signal.
 """
 
 from __future__ import annotations
@@ -53,6 +64,12 @@ _NAVIGATION_RE = r"(/(page|paging|pag)/[0-9]+(/|$)|[?&]page=[0-9]+)"
 _NOT_CRAWLABLE_RE = (
     r"://[^/?#]*/(login|logout|signin|signup|register|admin|cart|checkout)(/|$|\?)"
 )
+# registrable domain: 3 labels when the middle one is a common second-level
+# suffix under a 2-letter ccTLD (ex.co.uk), else the last 2 labels
+_DOMAIN_RE = r"([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z]$|[^.]+\.[^.]+$)"
+# language readable off the URL: 2-letter path prefix or lang=/hl= param
+_LANG_PATH_RE = r"://[^/?#]+/([a-z][a-z])(/|$|\?)"
+_LANG_PARAM_RE = r"[?&](?:lang|hl)=([A-Za-z][A-Za-z])(&|$|#)"
 
 
 def _head(url: Column) -> Column:
@@ -103,13 +120,23 @@ def normalize_urls(
     raw = F.col(url_col)
     norm = normalize_url_col(raw)
     host = F.regexp_extract(norm, r"^[a-z][a-z0-9+.\-]*://([^/:?#]+)", 1)
+    host_nowww = F.regexp_replace(host, r"^www\.", "")
+    dom = F.regexp_extract(host_nowww, _DOMAIN_RE, 1)
     is_nav = norm.rlike(_NAVIGATION_RE)
     no_crawl = F.lower(norm).rlike(_NOT_CRAWLABLE_RE)
+    lang = F.lower(
+        F.when(
+            F.regexp_extract(norm, _LANG_PATH_RE, 1) != "",
+            F.regexp_extract(norm, _LANG_PATH_RE, 1),
+        ).otherwise(F.regexp_extract(norm, _LANG_PARAM_RE, 1))
+    )
     return df.select(
         F.col(id_col),
         raw.alias("url_raw"),
         norm.alias("url_norm"),
         host.alias("host"),
+        F.when(dom != "", dom).otherwise(host_nowww).alias("domain"),
+        lang.alias("url_lang"),
         is_nav.alias("is_navigation"),
         no_crawl.alias("is_not_crawlable"),
         ((host != "") & ~is_nav & ~no_crawl).alias("keep"),
@@ -154,12 +181,23 @@ def normalize_urls_sql(
         FROM comps
       )
     )
-    SELECT {id_col}, url_raw, url_norm,
-           regexp_extract(url_norm, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1) AS host,
+    SELECT {id_col}, url_raw, url_norm, host,
+           CASE WHEN regexp_extract(host_nowww, '{_DOMAIN_RE}', 1) <> ''
+                THEN regexp_extract(host_nowww, '{_DOMAIN_RE}', 1)
+                ELSE host_nowww END AS domain,
+           lower(CASE WHEN regexp_extract(url_norm, '{_LANG_PATH_RE}', 1) <> ''
+                 THEN regexp_extract(url_norm, '{_LANG_PATH_RE}', 1)
+                 ELSE regexp_extract(url_norm, '{_LANG_PARAM_RE}', 1) END) AS url_lang,
            regexp_matches(url_norm, '{_NAVIGATION_RE}') AS is_navigation,
            regexp_matches(lower(url_norm), '{_NOT_CRAWLABLE_RE}') AS is_not_crawlable,
-           regexp_extract(url_norm, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1) <> ''
+           host <> ''
              AND NOT regexp_matches(url_norm, '{_NAVIGATION_RE}')
              AND NOT regexp_matches(lower(url_norm), '{_NOT_CRAWLABLE_RE}') AS keep
-    FROM normed
+    FROM (
+      SELECT *,
+             regexp_extract(url_norm, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1) AS host,
+             regexp_replace(regexp_extract(url_norm, '^[a-z][a-z0-9+.\\-]*://([^/:?#]+)', 1),
+                            '^www\\.', '') AS host_nowww
+      FROM normed
+    )
     """

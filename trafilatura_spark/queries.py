@@ -1220,6 +1220,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".Example.COM"),
         F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
         F.when(d % 17 == 0, F.lit("/login"))
+        .when(d % 19 == 0, F.concat(F.lit("/de/nachrichten/item-"), d.cast("string"), F.lit("/index.html")))
         .when(d % 5 == 0, F.concat(F.lit("/blog/page/"), (d % 7 + 2).cast("string"), F.lit("/")))
         .otherwise(F.concat(F.lit("/Articles/item-"), d.cast("string"), F.lit("/index.html"))),
         F.lit("?utm_source=rss&id="),
@@ -1227,6 +1228,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&utm_medium=feed"),
         F.when(d % 3 == 0, F.lit("&sessionid=DEADBEEF")).otherwise(F.lit("")),
         F.when(d % 4 == 0, F.lit("&b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit("&hl=FR")).otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#comments-section"))
         .when(d % 6 == 3, F.lit("#!page=2"))
         .otherwise(F.lit("")),
@@ -1240,11 +1242,13 @@ CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
 || '://WWW.' || source || '.Example.COM'
 || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
 || CASE WHEN doc_id % 17 = 0 THEN '/login'
+        WHEN doc_id % 19 = 0 THEN '/de/nachrichten/item-' || doc_id || '/index.html'
         WHEN doc_id % 5 = 0 THEN '/blog/page/' || (doc_id % 7 + 2) || '/'
         ELSE '/Articles/item-' || doc_id || '/index.html' END
 || '?utm_source=rss&id=' || doc_id || '&utm_medium=feed'
 || CASE WHEN doc_id % 3 = 0 THEN '&sessionid=DEADBEEF' ELSE '' END
 || CASE WHEN doc_id % 4 = 0 THEN '&b=2&a=1' ELSE '' END
+|| CASE WHEN doc_id % 23 = 0 THEN '&hl=FR' ELSE '' END
 || CASE WHEN doc_id % 6 = 0 THEN '#comments-section'
         WHEN doc_id % 6 = 3 THEN '#!page=2' ELSE '' END
 """
