@@ -313,3 +313,30 @@ def test_streaming_r6_projections_stateless(spark, tmp_path):
     assert got == want
     assert got[1]["url_norm"] == "http://ex.com/a/?b=1"
     assert got[2]["keep"] is False
+
+
+# --- persisted IVF index (build once / probe many) ------------------------------
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """Probing the persisted index returns EXACTLY the inline ivf_topk
+    results (centroids are rounded before persisting, so the parquet
+    round-trip is exact), and the probe's cid join drives dynamic
+    partition pruning into the cell-partitioned inverted scan — the
+    read-only-probed-cells behavior that makes the index worth
+    persisting at scale."""
+    from trafilatura_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < 5)
+    from_index = ivf_topk_from_index(spark, idx, queries, k=5)
+    inline = ivf_topk(emb, n_queries=5, k=5)
+    assert sorted(map(tuple, from_index.collect())) == sorted(map(tuple, inline.collect()))
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -304,6 +304,30 @@ def _assign_to_centroids(
     return vecs.crossJoin(F.broadcast(carr)).select(*cols)
 
 
+def _ivf_build(vecs: DataFrame, nlist: int):
+    """Shared IVF training: deterministic seeds (the ``nlist`` lowest-id
+    vectors), ONE Lloyd refinement, final assignment.  Returns
+    (centroids(cid, cv), inverted(cid, neighbor_id, nv)).
+
+    The assignment carries v through, so the only exchange here is the
+    partial-agged (cid, pos) mean — nlist*dim rows per task, never the
+    corpus."""
+    seeds = vecs.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _assign_to_centroids(vecs, seeds, "vec_id", keep_vec="v")
+    cents = (
+        a1.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"))
+    )
+    inverted = _assign_to_centroids(vecs, cents, "neighbor_id", keep_vec="nv")
+    return cents, inverted
+
+
 def ivf_topk(
     df: DataFrame,
     n_queries: int = 5,
@@ -332,24 +356,7 @@ def ivf_topk(
     ordinary AQE-splittable shuffle join partition, not a window.
     """
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    seeds = vecs.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    # one Lloyd step: assign to seeds, rebuild each centroid as the
-    # per-dimension mean of its members (posexplode -> avg -> re-collect).
-    # The assignment carries v through, so the only exchange here is the
-    # partial-agged (cid, pos) mean — nlist*dim rows per task, never the
-    # corpus
-    a1 = _assign_to_centroids(vecs, seeds, "vec_id", keep_vec="v")
-    cents = (
-        a1.select("cid", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg(F.avg("val").alias("m"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"))
-    )
-    inverted = _assign_to_centroids(vecs, cents, "neighbor_id", keep_vec="nv")
+    cents, inverted = _ivf_build(vecs, nlist)
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -526,3 +533,80 @@ def embedding_neardup_pairs_sql(
     JOIN vecs bb ON bb.{id_col} = c.id_b
     WHERE list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the build-once / probe-many production shape.
+# Inline ivf_topk retrains per query batch (fine for the oracle gate);
+# at 100 TB the index is BUILT once and WRITTEN as tables, and every
+# probe batch reads only the cells it probes.
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+) -> None:
+    """Train the IVF index (same deterministic arithmetic as ivf_topk)
+    and persist it: <path>/centroids (nlist rows) and <path>/inverted,
+    PARTITIONED BY cell id — the partitioning is the point: a probe
+    reads only nprobe/nlist of the corpus off disk, not a full scan.
+    At 100 TB nlist grows to ~sqrt(n) so each cell directory stays a
+    few hundred MB and the probe's dynamic partition pruning has real
+    leverage."""
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents, inverted = _ivf_build(vecs, nlist)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    inverted.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/inverted")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: nprobe nearest centroids per query,
+    then ONE join against the cell-partitioned inverted table.  The
+    probe side is tiny and broadcastable, so Spark's dynamic partition
+    pruning turns the cid equi-join into a partition filter on the
+    inverted scan — only probed cell directories are read (asserted in
+    tests/test_pipeline_ops_r6.py).  Results are identical to the inline
+    ivf_topk over the same corpus: centroid arrays are rounded to 6 dp
+    BEFORE persisting, so the parquet round-trip is exact."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    inverted = spark.read.parquet(f"{path}/inverted")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", _l2rank(F.col("qv"), F.col("cv")).alias("dist"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        inverted.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
