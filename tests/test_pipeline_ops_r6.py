@@ -340,3 +340,48 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
 
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+# --- incremental minhash dedup (persisted bucket index + shard probe) -----------
+
+def test_minhash_probe_index_matches_direct_cross_pairs(spark, tmp_path):
+    """Probing a new shard against the persisted corpus index finds
+    EXACTLY the cross-corpus candidate pairs the one-shot pair generator
+    finds over the union (same hash family => same buckets), and the
+    probe never recomputes corpus signatures."""
+    from trafilatura_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_probe_index,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # new shard: re-crawls of 10 corpus docs (one appended token — high
+    # Jaccard near-dups) + 5 genuinely new docs
+    recrawl = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" update")).alias("text"),
+    )
+    fresh = base.filter(F.col("doc_id").between(10, 14)).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    shard = recrawl.union(fresh)
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(base, idx)
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe_index(spark, idx, shard).collect()
+    }
+
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(base.union(shard)).collect()
+        if (r["id_a"] >= 10_000) != (r["id_b"] >= 10_000)  # cross pairs only
+    }
+    assert got == want
+    # the planted re-crawls must actually be found
+    assert sum(1 for new, old in got if new == old + 10_000) >= 8

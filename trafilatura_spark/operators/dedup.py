@@ -158,6 +158,24 @@ def minhash_signatures_sql(
     )
 
 
+def _band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    "Stacked LSH buckets per doc: one ('b:md5(band slice)') row per band."
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sigs.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)])
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,18 +186,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     "Candidate near-dup pairs: docs sharing any LSH band bucket."
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
-    banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band_{b}")) for b in range(bands)])
-        ).alias("bucket"),
-    )
+    stacked = _band_buckets(sigs, id_col, num_hashes, bands)
     # materialize before the self-join: otherwise the whole shingle/minhash
     # lineage is recomputed once per join side.  persist(), NOT
     # localCheckpoint: checkpointing truncates lineage onto executor-local
@@ -849,3 +856,60 @@ def line_dedup_sql(
     FROM lines l LEFT JOIN boiler b USING (line)
     GROUP BY l.{id_col}, l.n_lines
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — the rolling-crawl production shape: the corpus's
+# LSH bucket table is persisted ONCE; each newly crawled shard is banded
+# with the same hash family and probed against it, so dedup cost per
+# shard is O(shard), never O(corpus).
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Persist the corpus's LSH bucket table: (doc_id, bucket) rows,
+    bucket = 'band:md5(signature slice)'.  Append the same table shape
+    for each ingested shard and the index stays the union of everything
+    seen.  The hash family (shingle n, num_hashes, bands) is part of the
+    index contract — probes must use the same parameters."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    _band_buckets(sigs, id_col, num_hashes, bands).withColumnRenamed(
+        id_col, "corpus_id"
+    ).write.mode("overwrite").parquet(path)
+
+
+def minhash_probe_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW shard and the persisted
+    corpus index: band the shard with the same hash family, join on the
+    bucket string.  The shard's bucket table is small (bands rows per
+    new doc) and BROADCAST, so the corpus index never shuffles — per
+    shard this reads the index once and exchanges only the survivors.
+    Returns (new_id, corpus_id) distinct candidate pairs; shard-internal
+    pairs are the ordinary minhash_lsh_pairs run over the shard itself."""
+    index = spark.read.parquet(path)
+    sigs = minhash_signatures(new_df, id_col, text_col, n, num_hashes)
+    probes = _band_buckets(sigs, id_col, num_hashes, bands).withColumnRenamed(
+        id_col, "new_id"
+    )
+    return (
+        index.join(F.broadcast(probes), "bucket")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
