@@ -385,3 +385,55 @@ def test_minhash_probe_index_matches_direct_cross_pairs(spark, tmp_path):
     assert got == want
     # the planted re-crawls must actually be found
     assert sum(1 for new, old in got if new == old + 10_000) >= 8
+
+
+def test_minhash_probe_index_streaming(spark, tmp_path):
+    """The projection-rewritten signatures are STATELESS, so a newly
+    crawled stream probes the persisted index as a plain stream-static
+    join — streaming incremental dedup with no aggregation state, no
+    watermark, results equal to the batch probe."""
+    from trafilatura_spark.operators.dedup import (
+        _band_buckets,
+        build_minhash_index,
+        minhash_probe_index,
+        minhash_signatures,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shard = base.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" again")).alias("text"),
+    )
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(base, idx)
+
+    inp = str(tmp_path / "shard_in")
+    out = str(tmp_path / "probe_out")
+    ckpt = str(tmp_path / "probe_ckpt")
+    shard.write.parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    probes = _band_buckets(minhash_signatures(stream), "doc_id", 8, 4).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    index = spark.read.parquet(idx)
+    q = (
+        probes.join(index, "bucket")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["new_id"], r["corpus_id"]) for r in spark.read.parquet(out).collect()}
+    want = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe_index(spark, idx, shard).collect()
+    }
+    assert got == want and len(want) >= 8

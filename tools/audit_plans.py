@@ -213,6 +213,17 @@ def main() -> int:
         check(f"{name} shuffle-free (no Exchange)", "Exchange" not in p)
         check(f"{name} no Python stage", "Python" not in p and "MapInPandas" not in p)
 
+    # minhash signatures: since the round-6 array_min projection rewrite
+    # the signature stage itself must be shuffle-free — the FIRST
+    # exchange of any minhash pipeline is the bucket join, never the
+    # signature computation
+    from trafilatura_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(minhash_signatures(docs))
+    check("minhash signatures shuffle-free (no Exchange)", "Exchange" not in p)
+    check("minhash signatures no Python stage", "Python" not in p and "MapInPandas" not in p)
+
     # line dedup: the boilerplate census must partial-aggregate map-side
     # before its exchange, and the census must join back via BROADCAST so
     # the corpus-sized line table never shuffles for the join — the only

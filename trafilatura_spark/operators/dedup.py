@@ -122,17 +122,46 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE_N,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    "MinHash signature per doc: sig_j = min over shingles of a 32-bit md5 window."
-    sh = _shingles(df, id_col, text_col, n)
+    """MinHash signature per doc: sig_j = min over shingles of a 32-bit
+    md5 window.
+
+    PURE PROJECTION (round-6 rewrite): the shingle set stays an ARRAY
+    and each sig_j is an array_min over it — same values as the earlier
+    explode -> groupBy(doc) formulation (min over the identical shingle
+    set; the DuckDB twin still states it that way), but with ZERO
+    Exchange (plan-asserted) and no explode blow-up: at 100 TB the
+    signature stage pipelines into the scan, and the first shuffle of
+    any minhash pipeline is the bucket join itself.  Stateless, so it
+    also runs under Structured Streaming (stream-static index probe).
+    Rows with NULL text are dropped, matching the explode semantics."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    ngrams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(words, i, {n}))))"
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), words.alias("words"))
+        .select(F.col(id_col), ngrams.alias("shingles"))
+    )
+    # closure factories, NOT default-arg lambdas: F.transform dispatches
+    # on lambda ARITY, so a `seed=seed` capture would be called as
+    # (element, index) with the array index silently replacing the seed
+    def _digest(seed: str):
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    def _window(off: int):
+        return lambda h: F.substring(h, off, 8)
+
     n_digests = (num_hashes + 3) // 4
     for d in range(n_digests):
         seed = "" if d == 0 else f"{d}:"
-        sh = sh.withColumn(f"h{d}", F.md5(F.concat(F.lit(seed), F.col("shingle"))))
-    aggs = [
-        F.min(F.substring(F.col(f"h{src}"), off, 8)).alias(f"sig_{j}")
+        base = base.withColumn(f"h{d}", F.transform(F.col("shingles"), _digest(seed)))
+    sigs = [
+        F.array_min(F.transform(F.col(f"h{src}"), _window(off))).alias(f"sig_{j}")
         for j, (src, off) in enumerate(_sig_expr_parts(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *sigs)
 
 
 def minhash_signatures_sql(
