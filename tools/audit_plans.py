@@ -224,6 +224,13 @@ def main() -> int:
     check("minhash signatures shuffle-free (no Exchange)", "Exchange" not in p)
     check("minhash signatures no Python stage", "Python" not in p and "MapInPandas" not in p)
 
+    # simhash: same rewrite — the signature is a single-aggregate-pass
+    # projection; simhash_pairs' first exchange is the banded hamming join
+    from trafilatura_spark.operators.dedup import simhash
+
+    p = plan_of(simhash(docs))
+    check("simhash signature shuffle-free (no Exchange)", "Exchange" not in p)
+
     # line dedup: the boilerplate census must partial-aggregate map-side
     # before its exchange, and the census must join back via BROADCAST so
     # the corpus-sized line table never shuffles for the join — the only

@@ -399,24 +399,47 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     +-1, where a token votes +1 on bit j iff hex digit j of the token's
     64-hex-digit hash (md5(token) || md5('1:'||token)) is odd.
     (Charikar simhash with md5-derived projections; reference analog:
-    deduplication.py:86-149 — the reference Simhash is also 64-bit.)"""
+    deduplication.py:86-149 — the reference Simhash is also 64-bit.)
+
+    PURE PROJECTION (round-6 rewrite, same pattern as
+    minhash_signatures): tokens stay an array and the 64 bit-votes
+    accumulate in ONE F.aggregate pass over it (acc = int[64],
+    zip_with-added per token), then fold into the signed long with the
+    same two's-complement bit weights (shiftleft(1L, 63) IS
+    _bit_addend(63)).  Identical values to the earlier explode ->
+    groupBy(doc) 64-sum formulation — the DuckDB twin still states it
+    that way — with ZERO Exchange: at 100 TB the signature pipelines
+    into the scan and simhash_pairs' first shuffle is the banded
+    hamming join."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    tok = df.select(F.col(id_col), F.explode(words).alias("token"))
-    tok = tok.withColumn(
-        "h", F.concat(F.md5(F.col("token")), F.md5(F.concat(F.lit("1:"), F.col("token"))))
+    h_arr = F.transform(
+        words, lambda t: F.concat(F.md5(t), F.md5(F.concat(F.lit("1:"), t)))
     )
-    votes = [
-        F.sum(
-            F.when(F.substring(F.col("h"), j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(_bit_addend(j))).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+    def _tok_votes(h):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+            lambda i: F.when(h.substr(i, F.lit(1)).isin(*_ODD_HEX), 1).otherwise(-1),
+        )
+
+    votes = F.aggregate(
+        h_arr,
+        F.expr(f"array_repeat(0, {SIMHASH_BITS})"),
+        lambda acc, h: F.zip_with(acc, _tok_votes(h), lambda a, v: a + v),
+    )
+    weights = F.expr(
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> shiftleft(1L, CAST(j AS INT)))"
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), sig.cast("long").alias("simhash")
+    )
 
 
 def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
