@@ -437,3 +437,85 @@ def test_minhash_probe_index_streaming(spark, tmp_path):
         for r in minhash_probe_index(spark, idx, shard).collect()
     }
     assert got == want and len(want) >= 8
+
+
+def test_update_clusters_equals_full_recompute(spark):
+    """Incremental cluster maintenance over hand-built pairs covering
+    every case: join-one-cluster, BRIDGE-merge of two old clusters,
+    first-pairing of a previously-unclustered corpus doc, shard-internal
+    pair, untouched old cluster — result equals CC over the union."""
+    from trafilatura_spark.operators.dedup import connected_components, update_clusters
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    clusters = connected_components(old_pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    # new docs 100..102: 100 bridges clusters {1,2,3} and {10,11};
+    # 101 pairs with unclustered corpus doc 50 and with shard-mate 102
+    cross = spark.createDataFrame(
+        [(100, 3), (100, 11), (101, 50)], "new_id long, corpus_id long"
+    )
+    shard = spark.createDataFrame([(101, 102)], "id_a long, id_b long")
+
+    got = {
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in update_clusters(clusters, cross, shard).collect()
+    }
+    union_pairs = old_pairs.union(
+        cross.select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    ).union(shard)
+    want = {
+        (r["node"], r["label"], r["node"] == r["label"])
+        for r in connected_components(union_pairs).collect()
+    }
+    assert got == want
+    # spot-check the semantics: the bridge merged everything into label 1,
+    # the 50-group formed fresh, cluster {20,21} is untouched
+    labels = {d: c for d, c, _ in got}
+    assert labels[100] == labels[10] == labels[3] == 1
+    assert labels[50] == labels[101] == labels[102] == 50
+    assert labels[20] == 20 and labels[21] == 20
+
+
+def test_update_clusters_end_to_end_with_probe(spark, tmp_path):
+    "index -> probe -> update_clusters over real minhash on planted dups."
+    from trafilatura_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_clusters_df,
+        minhash_lsh_pairs,
+        minhash_probe_index,
+        update_clusters,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant near-dups INSIDE the base corpus so it has clusters to start
+    base = base.union(
+        base.filter(F.col("doc_id") < 6).select(
+            (F.col("doc_id") + 1_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        )
+    )
+    shard = base.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" redux")).alias("text"),
+    )
+
+    clusters = dedup_clusters_df(base).select("doc_id", "cluster_id")
+    idx = str(tmp_path / "mh_idx2")
+    build_minhash_index(base, idx)
+    cross = minhash_probe_index(spark, idx, shard)
+    shard_pairs = minhash_lsh_pairs(shard)
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in update_clusters(clusters, cross, shard_pairs).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters_df(base.union(shard)).collect()
+    }
+    assert got == want and len(want) >= 10

@@ -7,7 +7,7 @@ exact DuckDB SQL twins for the correctness oracle:
 - minhash + LSH: per-shingle md5 keyed by seed, min per seed -> signature;
   banding -> bucket join for candidate pairs
 - n-gram Jaccard: shingle explode + self-join
-- simhash: 16-bit signature from per-token md5 hex-digit parities
+- simhash: 64-bit signature from per-token md5 hex-digit parities
 
 At 100 TB scale: exact dedup is one shuffle on the hash; minhash/LSH is
 explode (map-side) + groupBy(doc) + groupBy(band-bucket) — candidate
@@ -965,3 +965,67 @@ def minhash_probe_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def update_clusters(
+    clusters: DataFrame,
+    cross_pairs: DataFrame,
+    shard_pairs: DataFrame = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: merge a newly probed
+    shard into an EXISTING cluster assignment without recomputing the
+    corpus graph — the third leg of the rolling-crawl dedup shape
+    (build_minhash_index -> minhash_probe_index -> update_clusters).
+
+    ``clusters``: the current (doc_id, cluster_id) assignment (labels =
+    min doc id in component, as produced by dedup_clusters_df /
+    connected_components).  ``cross_pairs``: (new_id, corpus_id)
+    candidates from minhash_probe_index.  ``shard_pairs``: optional
+    (id_a, id_b) pairs internal to the shard.
+
+    Correctness by contraction: each existing component is collapsed to
+    its label node (a corpus endpoint is replaced by its cluster label;
+    a previously-unpaired corpus doc stands as its own label), then
+    connected components run over the DELTA graph only — shard nodes,
+    touched labels, delta edges.  Merging two old clusters through a
+    bridging new doc works because both labels land in one delta
+    component, and the merged label stays min-doc-id since an old label
+    IS the min of its members.  Output equals a full recompute over the
+    union pair set (pinned in tests) while the CC cost is O(shard +
+    touched clusters) and the corpus-sized assignment is touched by ONE
+    relabel join against the tiny delta component table (broadcast).
+
+    Docs with no pairs anywhere remain absent, matching
+    dedup_clusters_df's paired-docs-only contract."""
+    cl = clusters.select(F.col(id_col).alias("_doc"), F.col(cluster_col).alias("_cl"))
+    # contract corpus endpoints to their cluster label; an unclustered
+    # corpus doc (first time it pairs with anything) is its own label
+    contracted = (
+        cross_pairs.join(cl, cross_pairs["corpus_id"] == cl["_doc"], "left")
+        .select(
+            F.col("new_id").alias("id_a"),
+            F.coalesce(F.col("_cl"), F.col("corpus_id")).alias("id_b"),
+        )
+    )
+    delta_pairs = (
+        contracted.union(shard_pairs.select("id_a", "id_b"))
+        if shard_pairs is not None
+        else contracted
+    )
+    comps = connected_components(delta_pairs)  # (node, label), delta-sized
+    # relabel touched old components (comps is small: broadcast), keep
+    # untouched assignments as-is
+    touched = comps.select(F.col("node").alias("_cl"), F.col("label").alias("_new_cl"))
+    updated_old = cl.join(F.broadcast(touched), "_cl", "left").select(
+        F.col("_doc").alias(id_col),
+        F.coalesce(F.col("_new_cl"), F.col("_cl")).alias(cluster_col),
+    )
+    # rows for delta nodes not already in the assignment: the new shard
+    # docs and previously-unpaired corpus docs
+    added = comps.join(
+        F.broadcast(cl.select(F.col("_doc").alias("node"))), "node", "left_anti"
+    ).select(F.col("node").alias(id_col), F.col("label").alias(cluster_col))
+    out = updated_old.union(added)
+    return out.withColumn("is_keeper", F.col(id_col) == F.col(cluster_col))
