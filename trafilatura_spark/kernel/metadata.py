@@ -868,6 +868,9 @@ def _url_date(
 
 
 _SCAN_ATTRS = ("content", "datetime", "data-date", "title", "value")
+_SCAN_LIMIT = 100_000
+_ANY_DIGIT_RE = re.compile(r"\d")
+_DATE_HINT_TAGS = frozenset(("span", "div", "p", "li", "em", "strong", "font"))
 
 
 def _scan_text(tree: Element, limit: int = 100_000) -> str:
@@ -919,10 +922,74 @@ def find_date(
     plausibility window: a candidate outside the window is rejected at
     its rung and the ladder CONTINUES — e.g. a far-future meta stamp
     falls through to a plausible URL date (the reference default sets
-    max_date=today, settings.py:216-222/cli_utils.py:231)."""
+    max_date=today, settings.py:216-222/cli_utils.py:231).
+
+    Execution shape (round-7): every rung's inputs are collected in ONE
+    document-order traversal up front — the ladder previously walked the
+    tree once per rung (metas, scripts, itemprop/RDFa, <time>, <abbr>,
+    date-classed elements, free-text scan: ~7 traversals on a page with
+    no date at all, the common case in a crawl).  Evaluation below stays
+    in exact ladder order over the collected rows, so results are
+    byte-identical; only the traversal count changes."""
+    # --- single fused collection walk (doc order == each rung's order) ---
+    metas = []          # rung 1: <meta> elements (head-first == doc order)
+    date_scripts = []   # rung 1.5
+    itemprop_els = []   # rung 1.7 (any element with itemprop=datePublished/Created)
+    rdfa_els = []       # rung 1.8 (non-meta property= elements w/ content)
+    time_els = []       # rung 2
+    abbr_els = []       # rung 2 (unix-time / title attrs)
+    hint_els = []       # rung 3 (date-classed/-id'd elements, attrs present)
+    link_canonical = None  # rung 4 fallback when no URL was passed
+    scan_parts = []     # rung 6/7 free-text scan (_scan_text equivalent)
+    scan_size = 0
+    scan_open = True
+    for el in tree.iter("*"):
+        attrib = el.attrib
+        if scan_open:
+            t = el.text
+            if t:
+                scan_parts.append(t)
+                scan_size += len(t) + 1
+            t = el.tail
+            if t:
+                scan_parts.append(t)
+                scan_size += len(t) + 1
+            if attrib:
+                for a in _SCAN_ATTRS:
+                    piece = attrib.get(a)
+                    if piece:
+                        scan_parts.append(piece)
+                        scan_size += len(piece) + 1
+            if scan_size >= _SCAN_LIMIT:
+                scan_open = False
+        if el is tree:
+            continue  # rungs iterate descendants only
+        tag = el.tag
+        if tag == "script":
+            t = el.text
+            if t and '"date' in t:
+                date_scripts.append(t)
+        elif tag == "time":
+            time_els.append(el)
+        elif tag == "abbr":
+            abbr_els.append(el)
+        if not attrib:
+            continue
+        if tag == "meta":
+            metas.append(el)
+        else:
+            if attrib.get("property") and attrib.get("content"):
+                rdfa_els.append(el)
+            if link_canonical is None and tag == "link" and attrib.get("rel") == "canonical" and attrib.get("href"):
+                link_canonical = attrib.get("href")
+        if attrib.get("itemprop") in ("datePublished", "dateCreated"):
+            itemprop_els.append(el)
+        if tag in _DATE_HINT_TAGS:
+            hint_els.append(el)
+
     # 1. meta vocabulary, publication names first
     modified_candidate = None
-    for elem in _head_metas(tree):
+    for elem in metas:
         attrtype = (elem.get("name") or elem.get("property") or elem.get("itemprop") or "").lower()
         content = elem.get("content") or ""
         if not content:
@@ -932,7 +999,7 @@ def find_date(
             if result:
                 if not original_date:
                     # updated-date mode: let a later modified stamp win
-                    for el2 in _head_metas(tree):
+                    for el2 in metas:
                         a2 = (el2.get("name") or el2.get("property") or el2.get("itemprop") or "").lower()
                         if a2 in _DATE_MODIFIED_META_NAMES and el2.get("content"):
                             mod = _normalize_date(el2.get("content"), min_date, max_date)
@@ -953,11 +1020,6 @@ def find_date(
     # liveblog page can carry a dateCreated for every sub-item while the
     # single datePublished names the article — eval case lanacion)
     jsonld_mod = None
-    date_scripts = []
-    for script in tree.iterdescendants("script"):
-        text = script.text or ""
-        if '"date' in text:
-            date_scripts.append(text)
     for pattern in (_JSONLD_PUBLISHED_RE, _JSONLD_CREATED_RE):
         for text in date_scripts:
             for m in pattern.finditer(text):
@@ -991,30 +1053,31 @@ def find_date(
     # the fused extract+metadata path.
     itemprop_dates: Dict[str, int] = {}
     rdfa_date = None
-    for el in tree.iterdescendants("*"):
-        if (el.get("itemprop") or "") in ("datePublished", "dateCreated"):
-            for candidate in (el.get("content"), el.get("datetime")):
-                if candidate:
-                    result = _normalize_date(candidate, min_date, max_date)
-                    if result:
-                        itemprop_dates[result] = itemprop_dates.get(result, 0) + 1
-                    break
-        if rdfa_date is None and el.tag != "meta":
-            prop = (el.get("property") or "").lower().replace(":", ".")
-            if prop in _DATE_META_NAMES and el.get("content"):
-                rdfa_date = _normalize_date(el.get("content"), min_date, max_date)
+    for el in itemprop_els:
+        for candidate in (el.get("content"), el.get("datetime")):
+            if candidate:
+                result = _normalize_date(candidate, min_date, max_date)
+                if result:
+                    itemprop_dates[result] = itemprop_dates.get(result, 0) + 1
+                break
+    for el in rdfa_els:
+        prop = (el.get("property") or "").lower().replace(":", ".")
+        if prop in _DATE_META_NAMES:
+            rdfa_date = _normalize_date(el.get("content"), min_date, max_date)
+            if rdfa_date:
+                break
     if len(itemprop_dates) == 1:
         return next(iter(itemprop_dates))
     if rdfa_date:
         return rdfa_date
     # 2. explicit date-bearing elements: <time datetime>, unix-time attrs
-    for time_el in tree.iterdescendants("time"):
+    for time_el in time_els:
         for candidate in (time_el.get("datetime"), time_el.get("content"), time_el.text_content()):
             if candidate:
                 result = _normalize_date(candidate, min_date, max_date)
                 if result:
                     return result
-    for abbr in tree.iterdescendants("abbr"):
+    for abbr in abbr_els:
         utime = abbr.get("data-utime")
         if utime and utime.isdigit():
             try:
@@ -1032,7 +1095,7 @@ def find_date(
             if result:
                 return result
     # 3. date-classed/-id'd element text and data-* attributes
-    for el in tree.iterdescendants("span", "div", "p", "li", "em", "strong", "font"):
+    for el in hint_els:
         hint = f"{el.get('class') or ''} {el.get('id') or ''} {el.get('itemprop') or ''}"
         if not _DATEISH_ATTR_RE.search(hint):
             continue
@@ -1047,11 +1110,9 @@ def find_date(
     # <link rel="canonical"> is often the only machine date on the page)
     url_candidates = [url] if url else []
     if not url:
-        for link in tree.iterdescendants("link"):
-            if link.get("rel") == "canonical" and link.get("href"):
-                url_candidates.append(link.get("href"))
-                break
-        for el in _head_metas(tree):
+        if link_canonical:
+            url_candidates.append(link_canonical)
+        for el in metas:
             if (el.get("property") or el.get("name")) == "og:url" and el.get("content"):
                 url_candidates.append(el.get("content"))
                 break
@@ -1079,25 +1140,30 @@ def find_date(
     # attributes (dataLayer publish stamps, content= attrs) vote too,
     # and element boundaries separate tokens that text_content() glues
     # ("Berlin2. Oktober 2015" hides the day behind a \b).
-    text = _scan_text(tree)
-    counts: Dict[str, int] = {}
-    for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
-        for match in pat.finditer(text):
-            result = _normalize_date(match.group(0), min_date, max_date)
-            if result:
-                counts[result] = counts.get(result, 0) + 1
-    if counts:
-        best = max(counts.values())
-        tied = sorted(d for d, c in counts.items() if c == best)
-        return tied[0] if original_date else tied[-1]
-    # 6.5 modified-date meta (weaker than every published signal)
-    if modified_candidate:
-        return modified_candidate
-    # 7. copyright year, the last-resort rung (day/month default to Jan 1)
-    match = _COPYRIGHT_RE.search(text)
-    if match:
-        return _valid_date(int(match[1]), 1, 1, min_date, max_date)
-    return None
+    text = " ".join(scan_parts)[:_SCAN_LIMIT]
+    # every pattern below requires a digit: a digit-less page (most
+    # boilerplate-only or pure-prose fragments) skips four full regex
+    # scans and the copyright rung with an identical outcome
+    if _ANY_DIGIT_RE.search(text):
+        counts: Dict[str, int] = {}
+        for pat in (_TEXT_DMY_RE, _TEXT_MDY_RE, _ISO_DATE_RE, _DMY_DOT_RE):
+            for match in pat.finditer(text):
+                result = _normalize_date(match.group(0), min_date, max_date)
+                if result:
+                    counts[result] = counts.get(result, 0) + 1
+        if counts:
+            best = max(counts.values())
+            tied = sorted(d for d, c in counts.items() if c == best)
+            return tied[0] if original_date else tied[-1]
+        # 6.5 modified-date meta (weaker than every published signal)
+        if modified_candidate:
+            return modified_candidate
+        # 7. copyright year, the last-resort rung (day/month default to Jan 1)
+        match = _COPYRIGHT_RE.search(text)
+        if match:
+            return _valid_date(int(match[1]), 1, 1, min_date, max_date)
+        return None
+    return modified_candidate
 
 
 def check_authors(author: Optional[str], author_blacklist) -> Optional[str]:
