@@ -214,6 +214,8 @@ class Element:
 
     def text_content(self) -> str:
         "All inner text as one string — non-generator fast path of itertext."
+        if not self._children:  # leaf: its own text is the whole content
+            return self.text or ""
         out: list = []
         emit = out.append
         stack: list = [self]

@@ -22,9 +22,10 @@ from .cleaning import (
 )
 from .dom import Element, SubElement, delete_element, strip_elements, strip_tags
 from .selectors import (
-    BODY_SELECTORS,
-    COMMENTS_SELECTORS,
+    BODY_PREDS,
+    COMMENTS_PREDS,
     comments_discard_matches,
+    first_match_ladder,
     discard_image_matches,
     overall_discard_matches,
     precision_discard_matches,
@@ -594,12 +595,18 @@ def _extract(tree: Element, options: Options) -> tuple:
         potential_tags.add("ref")
     result_body = Element("body")
 
-    for selector in BODY_SELECTORS:
-        subtree = selector(tree)
+    # ladder over BODY selectors: one fused walk finds the first selector
+    # with a match (identical to trying each in turn — the per-rung scans
+    # only diverge after a mutation, and the ladder re-enters the fused
+    # scan with the next rung index after every mutating iteration)
+    rung = 0
+    while True:
+        rung, subtree = first_match_ladder(tree, BODY_PREDS, rung)
         if subtree is None:
-            continue
+            break
         subtree = prune_unwanted_sections(subtree, potential_tags, options)
         if len(subtree) == 0:
+            rung += 1
             continue
         # NOTE '//p//text()' in the reference is document-absolute: it measures
         # all paragraph text in the containing tree, not just the subtree
@@ -621,6 +628,7 @@ def _extract(tree: Element, options: Options) -> tuple:
             delete_element(result_body[-1], keep_tail=False)
         if sum(e.tag != "graphic" for e in result_body) > 1:
             break
+        rung += 1
     temp_text = " ".join(result_body.itertext()).strip()
     return result_body, temp_text, potential_tags
 
@@ -702,10 +710,11 @@ def extract_comments(tree: Element, options: Options) -> tuple:
     "Comment section capture (:834-867)."
     comments_body = Element("body")
     potential_tags = set(TAG_CATALOG)
-    for selector in COMMENTS_SELECTORS:
-        subtree = selector(tree)
+    rung = 0
+    while True:
+        rung, subtree = first_match_ladder(tree, COMMENTS_PREDS, rung)
         if subtree is None:
-            continue
+            break
         subtree = prune_unwanted_nodes(subtree, comments_discard_matches(subtree))
         strip_tags(subtree, "a", "ref", "span")
         comments_body.extend(
@@ -719,5 +728,6 @@ def extract_comments(tree: Element, options: Options) -> tuple:
         if len(comments_body) > 0:
             delete_element(subtree, keep_tail=False)
             break
+        rung += 1
     temp_comments = " ".join(comments_body.itertext()).strip()
     return comments_body, temp_comments, len(temp_comments), tree

@@ -214,8 +214,11 @@ def normalize_tags(tags: str) -> str:
 def _head_metas(tree: Element):
     head = tree.find("head")
     metas = list(head.iterdescendants("meta")) if head is not None else []
-    # body-parsed metas too (parser may keep them in body for fragments)
-    metas += [m for m in tree.iterdescendants("meta") if m not in metas]
+    # body-parsed metas too (parser may keep them in body for fragments);
+    # membership by identity (Element has no __eq__), via an id-set so the
+    # dedup is O(n) instead of O(n*m)
+    seen = {id(m) for m in metas}
+    metas += [m for m in tree.iterdescendants("meta") if id(m) not in seen]
     return metas
 
 
@@ -378,44 +381,54 @@ _AUTHOR_DISCARD_CLASS_RE = re.compile(
 
 
 def _title_xpath_matches(tree: Element) -> list:
-    first = [
-        el for el in tree.iterdescendants("h1", "h2")
-        if _TITLE_RE1.search(_fa(el, "class"))
-        or "headline" in _fa(el, "id")
-        or "headline" in _fa(el, "itemprop")
-    ]
-    second = [el for el in tree.iterdescendants() if _fa(el, "class") in ("entry-title", "post-title")]
-    third = [
-        el for el in tree.iterdescendants("h1", "h2", "h3")
-        if "title" in _fa(el, "class") or "title" in _fa(el, "id")
-    ]
+    "TITLE_XPATHS ladder; all three passes collected in one walk."
+    first = []
+    second = []
+    third = []
+    for el in tree.iterdescendants():
+        tag = el.tag
+        if tag in ("h1", "h2"):
+            if (
+                _TITLE_RE1.search(_fa(el, "class"))
+                or "headline" in _fa(el, "id")
+                or "headline" in _fa(el, "itemprop")
+            ):
+                first.append(el)
+        if _fa(el, "class") in ("entry-title", "post-title"):
+            second.append(el)
+        if tag in ("h1", "h2", "h3") and ("title" in _fa(el, "class") or "title" in _fa(el, "id")):
+            third.append(el)
     return [first, second, third]
 
 
+_AUTHOR_XPATH_TAGS_1 = frozenset(("a", "address", "div", "link", "p", "span", "strong", "author"))
+_AUTHOR_XPATH_TAGS_2 = frozenset(("a", "div", "h3", "h4", "p", "span"))
+
+
 def _author_xpath_matches(tree: Element) -> list:
+    "AUTHOR_XPATHS ladder; all three passes collected in one walk."
     first = []
-    for el in tree.iterdescendants("a", "address", "div", "link", "p", "span", "strong", "author"):
-        if el.tag == "author":
-            first.append(el)
-            continue
-        if (
-            _fa(el, "rel") == "author" or _fa(el, "id") == "author" or _fa(el, "class") == "author"
-            or _fa(el, "itemprop") == "author name"
-            or _fa(el, "data-testid") in ("AuthorCard", "AuthorURL")
-            or _AUTHOR_NAME_RE.search(_fa(el, "class"))
-        ):
-            first.append(el)
     second = []
-    for el in tree.iterdescendants("a", "div", "h3", "h4", "p", "span"):
-        if (
+    third = []
+    for el in tree.iterdescendants():
+        tag = el.tag
+        if tag in _AUTHOR_XPATH_TAGS_1:
+            if tag == "author":
+                first.append(el)
+            elif (
+                _fa(el, "rel") == "author" or _fa(el, "id") == "author" or _fa(el, "class") == "author"
+                or _fa(el, "itemprop") == "author name"
+                or _fa(el, "data-testid") in ("AuthorCard", "AuthorURL")
+                or _AUTHOR_NAME_RE.search(_fa(el, "class"))
+            ):
+                first.append(el)
+        if tag in _AUTHOR_XPATH_TAGS_2 and (
             _fa(el, "class") in ("byline", "username", "byl", "BBL")
             or "author" in _fa(el, "itemprop")
             or _AUTHOR_GEN_ID_RE.search(_fa(el, "id"))
             or _AUTHOR_GEN_RE.search(_fa(el, "class"))
         ):
             second.append(el)
-    third = []
-    for el in tree.iterdescendants():
         if (
             "Byline" in _fa(el, "data-component")
             or "author" in _fa(el, "itemprop")
@@ -426,17 +439,25 @@ def _author_xpath_matches(tree: Element) -> list:
     return [first, second, third]
 
 
+_AUTHOR_DISCARD_TAGS = frozenset(("a", "div", "section", "span"))
+
+
 def _author_discard_matches(tree: Element) -> list:
-    out = []
-    for el in tree.iterdescendants("a", "div", "section", "span"):
-        if (
-            _fa(el, "id") == "comments" or _fa(el, "class") in ("comments", "title", "date")
-            or _AUTHOR_DISCARD_ID_RE.search(_fa(el, "id"))
-            or _AUTHOR_DISCARD_CLASS_RE.search(_fa(el, "class"))
-            or "Figure" in _fa(el, "data-component")
-        ):
-            out.append(el)
-    out2 = list(tree.iterdescendants("time", "figure"))
+    "Both discard passes collected in one walk."
+    out: list = []
+    out2: list = []
+    for el in tree.iterdescendants():
+        tag = el.tag
+        if tag in _AUTHOR_DISCARD_TAGS:
+            if (
+                _fa(el, "id") == "comments" or _fa(el, "class") in ("comments", "title", "date")
+                or _AUTHOR_DISCARD_ID_RE.search(_fa(el, "id"))
+                or _AUTHOR_DISCARD_CLASS_RE.search(_fa(el, "class"))
+                or "Figure" in _fa(el, "data-component")
+            ):
+                out.append(el)
+        elif tag in ("time", "figure"):
+            out2.append(el)
     return [out, out2]
 
 
@@ -488,8 +509,14 @@ def extract_title(tree: Element) -> Optional[str]:
 
 
 def extract_author(tree: Element) -> Optional[str]:
-    subtree = tree.copy_tree()
-    subtree = prune_unwanted_nodes(subtree, _author_discard_matches(subtree))
+    # the copy exists only so the discard-prune cannot damage the caller's
+    # tree; when nothing matches the discard rules (most pages), pruning
+    # is a no-op and the read-only ladder can run on the original directly
+    if any(_author_discard_matches(tree)):
+        subtree = tree.copy_tree()
+        subtree = prune_unwanted_nodes(subtree, _author_discard_matches(subtree))
+    else:
+        subtree = tree
     author = extract_metainfo(subtree, _author_xpath_matches(subtree), len_limit=120)
     if author:
         author = normalize_authors(None, author)
@@ -552,41 +579,48 @@ def _links_under(containers, tree) -> list:
 
 
 def _catstag_matches(metatype: str, tree: Element) -> list:
-    "CATEGORIES_XPATHS / TAGS_XPATHS ladders (xpaths.py:385-415)."
-    passes = []
+    """CATEGORIES_XPATHS / TAGS_XPATHS ladders (xpaths.py:385-415).
+    The per-pass container lists are collected in ONE walk (the tree is
+    read-only here); link extraction per pass is unchanged."""
     if metatype == "category":
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("div")
-             if _CAT_META_RE.search(_fa(e, "class")) or _fa(e, "id").startswith("postpath")], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("p")
-             if _fa(e, "class").startswith(("postmeta", "entry-categories"))
-             or _fa(e, "class") == "postinfo" or _fa(e, "id") == "filedunder"], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("footer")
-             if _fa(e, "class").startswith(("entry-meta", "entry-footer"))], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("li", "span")
-             if _fa(e, "class") in ("post-category", "postcategory", "entry-category")
-             or "cat-links" in _fa(e, "class")], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("header") if _fa(e, "class") == "entry-header"], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("div") if _fa(e, "class") in ("row", "tags")], tree))
+        containers: list = [[], [], [], [], [], []]
+        for e in tree.iterdescendants():
+            tag = e.tag
+            if tag == "div":
+                cls = _fa(e, "class")
+                if _CAT_META_RE.search(cls) or _fa(e, "id").startswith("postpath"):
+                    containers[0].append(e)
+                if cls in ("row", "tags"):
+                    containers[5].append(e)
+            elif tag == "p":
+                cls = _fa(e, "class")
+                if cls.startswith(("postmeta", "entry-categories")) or cls == "postinfo" or _fa(e, "id") == "filedunder":
+                    containers[1].append(e)
+            elif tag == "footer":
+                if _fa(e, "class").startswith(("entry-meta", "entry-footer")):
+                    containers[2].append(e)
+            elif tag in ("li", "span"):
+                cls = _fa(e, "class")
+                if cls in ("post-category", "postcategory", "entry-category") or "cat-links" in cls:
+                    containers[3].append(e)
+            elif tag == "header":
+                if _fa(e, "class") == "entry-header":
+                    containers[4].append(e)
     else:
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("div") if _fa(e, "class") == "tags"], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("p") if _fa(e, "class").startswith("entry-tags")], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants("div")
-             if _fa(e, "class") in ("row", "jp-relatedposts", "entry-utility")
-             or _TAG_META_RE.search(_fa(e, "class"))], tree))
-        passes.append(_links_under(
-            [e for e in tree.iterdescendants()
-             if _fa(e, "class") == "entry-meta" or "topics" in _fa(e, "class")
-             or "tags-links" in _fa(e, "class")], tree))
-    return passes
+        containers = [[], [], [], []]
+        for e in tree.iterdescendants():
+            tag = e.tag
+            cls = _fa(e, "class")
+            if tag == "div":
+                if cls == "tags":
+                    containers[0].append(e)
+                if cls in ("row", "jp-relatedposts", "entry-utility") or _TAG_META_RE.search(cls):
+                    containers[2].append(e)
+            elif tag == "p" and cls.startswith("entry-tags"):
+                containers[1].append(e)
+            if cls == "entry-meta" or "topics" in cls or "tags-links" in cls:
+                containers[3].append(e)
+    return [_links_under(c, tree) for c in containers]
 
 
 def extract_catstags(metatype: str, tree: Element) -> list:
@@ -621,23 +655,36 @@ def parse_license_element(element: Element, strict: bool = False) -> Optional[st
 
 
 def extract_license(tree: Element) -> Optional[str]:
-    "License links (metadata.py:425-455)."
-    for element in tree.iterdescendants("a"):
-        if element.get("rel") == "license" and "href" in element.attrib:
-            result = parse_license_element(element, strict=False)
-            if result is not None:
-                return result
-    candidates = []
-    for footer in tree.iterdescendants("footer"):
-        candidates.extend(a for a in footer.iterdescendants("a") if "href" in a.attrib)
-    for div in tree.iterdescendants("div"):
-        if "footer" in _fa(div, "class") or "footer" in _fa(div, "id"):
-            candidates.extend(a for a in div.iterdescendants("a") if "href" in a.attrib)
-    for element in candidates:
-        result = parse_license_element(element, strict=True)
+    "License links (metadata.py:425-455); containers collected in one walk."
+    rel_license = []
+    footers = []
+    footer_divs = []
+    for el in tree.iterdescendants():
+        tag = el.tag
+        if tag == "a":
+            if el.get("rel") == "license" and "href" in el.attrib:
+                rel_license.append(el)
+        elif tag == "footer":
+            footers.append(el)
+        elif tag == "div" and ("footer" in _fa(el, "class") or "footer" in _fa(el, "id")):
+            footer_divs.append(el)
+    for element in rel_license:
+        result = parse_license_element(element, strict=False)
         if result is not None:
             return result
-    return None
+    candidates = []
+    for footer in footers:
+        candidates.extend(a for a in footer.iterdescendants("a") if "href" in a.attrib)
+    for div in footer_divs:
+        candidates.extend(a for a in div.iterdescendants("a") if "href" in a.attrib)
+    return next(
+        (
+            result
+            for element in candidates
+            if (result := parse_license_element(element, strict=True)) is not None
+        ),
+        None,
+    )
 
 
 # --- date (lightweight htmldate stand-in) ------------------------------------

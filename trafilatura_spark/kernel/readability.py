@@ -50,6 +50,86 @@ def _text_length(elem: Element) -> int:
     return len(trim(elem.text_content()))
 
 
+def _text_and_links(elem: Element) -> tuple:
+    """One doc-order subtree walk returning (inner text, descendant <a>
+    elements) — replaces the text_content() + findall('.//a') pair the
+    link-density path otherwise runs as two traversals.  Text is
+    byte-identical to ``elem.text_content()``; the node list matches
+    ``findall`` (descendants only, nested links included)."""
+    parts: list = []
+    links: list = []
+    emit = parts.append
+    stack: list = []
+    children = elem._children
+    for i in range(len(children) - 1, -1, -1):
+        c = children[i]
+        if c.tail:
+            stack.append(c.tail)
+        stack.append(c)
+    if elem.text:
+        stack.append(elem.text)
+    pop = stack.pop
+    while stack:
+        item = pop()
+        if item.__class__ is str:
+            emit(item)
+            continue
+        if item.tag == "a":
+            links.append(item)
+        children = item._children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.tail:
+                stack.append(c.tail)
+            stack.append(c)
+        if item.text:
+            stack.append(item.text)
+    return "".join(parts), links
+
+
+def _clean_stats(elem: Element) -> tuple:
+    """One subtree walk for the _sanitize counting heuristics:
+    (inner text, {kind: count for TEXT_CLEAN_ELEMS}, hidden-input count,
+    descendant <a> list) — replaces len(TEXT_CLEAN_ELEMS)+3 separate
+    subtree scans per candidate."""
+    parts: list = []
+    links: list = []
+    counts = dict.fromkeys(TEXT_CLEAN_ELEMS, 0)
+    hidden_inputs = 0
+    emit = parts.append
+    stack: list = []
+    children = elem._children
+    for i in range(len(children) - 1, -1, -1):
+        c = children[i]
+        if c.tail:
+            stack.append(c.tail)
+        stack.append(c)
+    if elem.text:
+        stack.append(elem.text)
+    pop = stack.pop
+    while stack:
+        item = pop()
+        if item.__class__ is str:
+            emit(item)
+            continue
+        tag = item.tag
+        if tag in counts:
+            counts[tag] += 1
+            if tag == "a":
+                links.append(item)
+            elif tag == "input" and item.get("type") == "hidden":
+                hidden_inputs += 1
+        children = item._children
+        for i in range(len(children) - 1, -1, -1):
+            c = children[i]
+            if c.tail:
+                stack.append(c.tail)
+            stack.append(c)
+        if item.text:
+            stack.append(item.text)
+    return "".join(parts), counts, hidden_inputs, links
+
+
 @lru_cache(maxsize=16384)
 def _unlikely_attrs(attrs: str) -> bool:
     "Memoized UNLIKELY/MAYBE verdict — class/id strings repeat across a page."
@@ -142,8 +222,9 @@ class ReadabilityExtractor:
         return max(candidates.values(), key=lambda c: c.score)
 
     def _link_density(self, elem: Element) -> float:
-        total = _text_length(elem) or 1
-        link_length = sum(_text_length(link) for link in elem.findall(".//a"))
+        text, links = _text_and_links(elem)
+        total = len(trim(text)) or 1
+        link_length = sum(_text_length(link) for link in links)
         return link_length / total
 
     def _score_paragraphs(self) -> dict:
@@ -279,17 +360,17 @@ class ReadabilityExtractor:
             score = candidates[elem].score if elem in candidates else 0
             if weight + score < 0:
                 delete_element(elem)
-            elif elem.text_content().count(",") < 10:
+                continue
+            text, counts, hidden_inputs, links = _clean_stats(elem)
+            if text.count(",") < 10:
                 to_remove = True
                 reason = ""
-                counts = {kind: len(elem.findall(f".//{kind}")) for kind in TEXT_CLEAN_ELEMS}
                 counts["li"] -= 100
-                counts["input"] -= sum(
-                    1 for i in elem.iterdescendants("input") if i.get("type") == "hidden"
-                )
+                counts["input"] -= hidden_inputs
 
-                content_length = _text_length(elem)
-                link_density = self._link_density(elem)
+                content_length = len(trim(text))
+                total = content_length or 1
+                link_density = sum(_text_length(link) for link in links) / total
                 parent_node = elem.getparent()
                 if parent_node is not None:
                     score = candidates[parent_node].score if parent_node in candidates else 0

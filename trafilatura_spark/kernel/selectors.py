@@ -115,6 +115,36 @@ def _first_match(tree: Element, pred: Callable[[Element], bool]) -> Optional[Ele
     return next((el for el in tree.iterdescendants() if pred(el)), None)
 
 
+def first_match_ladder(tree: Element, preds: list, start: int = 0) -> tuple:
+    """Highest-priority first match over a selector ladder in ONE walk.
+
+    Equivalent to running ``_first_match(tree, preds[i])`` for
+    i = start.. and returning the first i with a match — each pred's
+    first match in document order is tracked independently, so the
+    result is identical to the sequential scans (which each traverse
+    the whole tree) at 1/len(preds) the traversal cost.  Callers that
+    mutate the tree between ladder rungs re-enter with ``start`` set to
+    the next rung, preserving the scan-after-mutation semantics."""
+    n = len(preds)
+    if start >= n:
+        return None, None
+    found: list = [None] * n
+    limit = n  # preds at an index above an already-found one are irrelevant
+    for el in tree.iterdescendants():
+        for i in range(start, limit):
+            if found[i] is None and preds[i](el):
+                found[i] = el
+                if i == start:
+                    return start, el
+                limit = i
+    for i in range(start, n):
+        if found[i] is not None:
+            return i, found[i]
+    return None, None
+
+
+BODY_PREDS = [_body_pred_1, _body_pred_2, _body_pred_3, _body_pred_4, _body_pred_5]
+
 BODY_SELECTORS = [
     lambda t: _first_match(t, _body_pred_1),
     lambda t: _first_match(t, _body_pred_2),
@@ -154,6 +184,8 @@ def _comments_pred_4(el: Element) -> bool:
         _fa(el, "id").startswith("social") or "comment" in _fa(el, "class")
     )
 
+
+COMMENTS_PREDS = [_comments_pred_1, _comments_pred_2, _comments_pred_3, _comments_pred_4]
 
 COMMENTS_SELECTORS = [
     lambda t: _first_match(t, _comments_pred_1),
@@ -259,11 +291,17 @@ def _discard_pred_2(el: Element) -> bool:
 
 
 def overall_discard_matches(tree: Element) -> list[list[Element]]:
-    "OVERALL_DISCARD_XPATH as two expression passes (xpaths.py:242-266)."
-    return [
-        [el for el in tree.iterdescendants() if el.tag in _DISCARD_TAGS_1 and _discard_pred_1(el)],
-        [el for el in tree.iterdescendants() if _discard_pred_2(el)],
-    ]
+    """OVERALL_DISCARD_XPATH as two expression passes (xpaths.py:242-266).
+    Both passes are collected in ONE walk (the tree is not mutated
+    between them, so per-pass doc-order lists are unchanged)."""
+    first: list = []
+    second: list = []
+    for el in tree.iterdescendants():
+        if el.tag in _DISCARD_TAGS_1 and _discard_pred_1(el):
+            first.append(el)
+        if _discard_pred_2(el):
+            second.append(el)
+    return [first, second]
 
 
 def teaser_discard_matches(tree: Element) -> list[list[Element]]:
@@ -278,14 +316,21 @@ def teaser_discard_matches(tree: Element) -> list[list[Element]]:
 _LINK_TOKEN = re.compile(r"(^|\s)link(\s|$)")
 
 
+_PRECISION_TAGS = frozenset(("div", "item", "list", "p", "section", "span"))
+
+
 def precision_discard_matches(tree: Element) -> list[list[Element]]:
-    "PRECISION_DISCARD_XPATH (xpaths.py:290-301)."
-    headers = list(tree.iterdescendants("header"))
+    "PRECISION_DISCARD_XPATH (xpaths.py:290-301); one walk, two passes."
+    headers = []
     second = []
-    for el in tree.iterdescendants("div", "item", "list", "p", "section", "span"):
-        idclass = _first_attr(el, "id", "class")
-        if "bottom" in idclass or _LINK_TOKEN.search(idclass) or "border" in _fa(el, "style"):
-            second.append(el)
+    for el in tree.iterdescendants():
+        tag = el.tag
+        if tag == "header":
+            headers.append(el)
+        elif tag in _PRECISION_TAGS:
+            idclass = _first_attr(el, "id", "class")
+            if "bottom" in idclass or _LINK_TOKEN.search(idclass) or "border" in _fa(el, "style"):
+                second.append(el)
     return [headers, second]
 
 
@@ -303,13 +348,17 @@ _CD_IDCLASS = re.compile(r"^reply-|akismet")
 
 
 def comments_discard_matches(tree: Element) -> list[list[Element]]:
-    "COMMENTS_DISCARD_XPATH (xpaths.py:315-328)."
-    first = [
-        el for el in tree.iterdescendants("div", "section") if _fa(el, "id").startswith("respond")
-    ]
-    second = list(tree.iterdescendants("cite", "quote"))
+    "COMMENTS_DISCARD_XPATH (xpaths.py:315-328); one walk, three passes."
+    first = []
+    second = []
     third = []
     for el in tree.iterdescendants():
+        tag = el.tag
+        if tag in ("div", "section"):
+            if _fa(el, "id").startswith("respond"):
+                first.append(el)
+        elif tag in ("cite", "quote"):
+            second.append(el)
         cls = _fa(el, "class")
         if (
             cls == "comments-title"

@@ -105,6 +105,16 @@ class Options:
             self.with_metadata = True
 
     def copy(self, **kw) -> "Options":
+        # per-document hot path (deadline stamp, recall-escalation focus
+        # flip): dataclasses.replace re-runs __init__/__post_init__,
+        # ~15x the cost of a raw clone.  Neither field participates in
+        # the __post_init__ implications, so a dict-level clone is
+        # equivalent; any other field change takes the full replace.
+        if not kw or set(kw) <= {"deadline", "focus"}:
+            clone = object.__new__(Options)
+            clone.__dict__.update(self.__dict__)
+            clone.__dict__.update(kw)
+            return clone
         return replace(self, **kw)
 
 
