@@ -220,6 +220,48 @@ def test_line_dedup_duplicate_line_within_one_doc(spark):
     assert out[1]["kept_text"] == "x\nx\nx\nbody one" and out[1]["n_removed"] == 0
 
 
+def test_line_dedup_skip_empty_preserves_blank_separators(spark):
+    """skip_empty=True (the conversation-pipeline setting): blank lines
+    are excluded from the census AND from removal — '\\n\\n'-assembled
+    conversations keep their turn separators even when every document
+    contains the empty line (round-7 ADVICE item: without the flag, 12
+    documents sharing '' makes '' corpus boilerplate and every doc
+    collapses to single-newline separation)."""
+    from trafilatura_spark.operators.dedup import line_dedup
+
+    rows = [
+        Row(doc_id=i, text=f"user: question {i}\n\nassistant: answer {i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    # default (oracle semantics): '' occurs in all 12 docs -> censused out
+    legacy = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=10).collect()}
+    assert legacy[5]["n_removed"] == 1 and "\n\n" not in legacy[5]["kept_text"]
+    # skip_empty: separators survive verbatim, nothing else changes
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=10, skip_empty=True).collect()}
+    assert out[5]["n_removed"] == 0
+    assert out[5]["kept_text"] == "user: question 5\n\nassistant: answer 5"
+
+
+def test_postprocess_conversations_keeps_turn_separation(spark):
+    "--dedup-lines over '\\n\\n'-assembled conversations keeps blank separators."
+    from trafilatura_spark.operators.extract import postprocess_conversations
+
+    rows = [
+        Row(
+            conv_id=str(i),
+            n_turns=2,
+            n_kept=2,
+            conversation_text=f"user: question {i}\n\nassistant: answer {i}",
+        )
+        for i in range(12)
+    ]
+    out = postprocess_conversations(spark.createDataFrame(rows), dedup_lines=10)
+    got = {r["conv_id"]: r for r in out.collect()}
+    assert got["4"]["n_boilerplate_removed"] == 0
+    assert got["4"]["conversation_text"] == "user: question 4\n\nassistant: answer 4"
+
+
 # --- post-assembly pipeline (tools/submit_extract.py stages) -------------------
 
 def test_postprocess_conversations_pipeline(spark):

@@ -392,9 +392,14 @@ def postprocess_conversations(
     if dedup_lines:
         from .dedup import line_dedup
 
+        # skip_empty: conversations join turns with '\n\n', so the blank
+        # separator line occurs in EVERY multi-turn document — without the
+        # exclusion it is censused as boilerplate once min_doc_freq
+        # conversations exist and turn separation collapses to single '\n'
         dd = line_dedup(
             convs.select(F.col(id_col).alias("doc_id"), text.alias("text")),
             min_doc_freq=dedup_lines,
+            skip_empty=True,
         )
         convs = convs.drop(text_col).join(
             dd.select(

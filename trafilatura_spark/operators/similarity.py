@@ -171,6 +171,9 @@ def lsh_multitable_topk(
     2^D buckets — the fix for the single-table variant's 256-bucket
     ceiling (one table's bucket join approaches n^2/2^D at corpus scale;
     more, narrower tables keep every bucket join small)."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df.select(id_col, vec_col))
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     buckets = df.select(
         F.col(id_col),
@@ -355,7 +358,11 @@ def ivf_topk(
     executor-sized.  Cell ids are the partition key: a hot cell is an
     ordinary AQE-splittable shuffle join partition, not a window.
     """
-    vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    from .balance import spread_for_compute
+
+    vecs = spread_for_compute(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     cents, inverted = _ivf_build(vecs, nlist)
     queries = vecs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

@@ -32,6 +32,9 @@ _BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     "Token count + quality-scoring ratios per document."
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     text = F.col(text_col)
     n_tokens = F.size(F.split(F.trim(text), r"\s+"))
     n_chars = F.length(text)
@@ -150,7 +153,9 @@ def lang_id_ngram(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             ]
             yield out
 
-    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+    from .balance import spread_for_compute
+
+    return spread_for_compute(df.select(id_col, text_col)).mapInPandas(batch, schema=schema)
 
 
 # Gopher-style quality rules (Rae et al. 2021, §A1.1) — the published
@@ -171,6 +176,9 @@ def quality_gopher(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     them (the thresholds published for MassiveWeb).  At 100 TB this is a
     single narrow projection over the text column: no shuffle, no Python,
     fully pipelined into whatever scan feeds it."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     text = F.col(text_col)
     words = F.split(F.trim(text), r"\s+")
     lines = F.split(text, "\n")
@@ -293,85 +301,58 @@ REP_NGRAM_MODES = [(n, "top") for n in REP_TOP_THRESHOLDS] + [
 ]
 
 
-def _top_chars_walk(grams):
+def _top_chars_walk_sql(grams: str) -> str:
     """Chars covered by the most frequent gram of one document, WITHOUT
-    any shuffle: sort the array, one F.aggregate pass over adjacent runs.
+    any shuffle: sort the array, one aggregate() pass over adjacent runs.
     Ties go to the lexicographically smallest gram (strictly `>` keeps
     the FIRST maximal run of the sorted order — identical to ORDER BY
     cnt DESC, g ASC); 0 when the top gram occurs only once (a
-    once-occurring n-gram is not repetition)."""
+    once-occurring n-gram is not repetition).
 
-    def _close(acc):
-        better = acc["run"] > acc["best_cnt"]
-        return (
-            F.when(better, acc["run"]).otherwise(acc["best_cnt"]),
-            F.when(better, acc["prev"]).otherwise(acc["best_g"]),
-        )
-
-    def _merge(acc, g):
-        bc, bg = _close(acc)
-        return F.when(
-            g == acc["prev"],
-            F.struct(
-                acc["prev"].alias("prev"),
-                (acc["run"] + 1).alias("run"),
-                acc["best_cnt"].alias("best_cnt"),
-                acc["best_g"].alias("best_g"),
-            ),
-        ).otherwise(
-            F.struct(
-                g.alias("prev"),
-                F.lit(1).cast("long").alias("run"),
-                bc.alias("best_cnt"),
-                bg.alias("best_g"),
-            )
-        )
-
-    def _finish(acc):
-        bc, bg = _close(acc)
-        return F.when(bc > 1, bc * F.length(bg)).otherwise(F.lit(0).cast("long"))
-
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best_cnt"),
-        F.lit("").alias("best_g"),
-    )
-    return F.aggregate(F.array_sort(grams), init, _merge, _finish)
+    Emitted as a SQL string (one parse) rather than a pyspark Column
+    tree: nine of these walks built via F.aggregate/F.struct cost ~1.1 s
+    of py4j round-trips per query invocation (measured round 7), all of
+    it inside the timed wall.  The parsed expression is the same."""
+    bc = "CASE WHEN acc.run > acc.best_cnt THEN acc.run ELSE acc.best_cnt END"
+    bg = "CASE WHEN acc.run > acc.best_cnt THEN acc.prev ELSE acc.best_g END"
+    return f"""aggregate(
+      array_sort({grams}),
+      named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best_cnt', CAST(0 AS BIGINT), 'best_g', ''),
+      (acc, g) -> CASE WHEN g = acc.prev
+        THEN named_struct('prev', acc.prev, 'run', acc.run + 1, 'best_cnt', acc.best_cnt, 'best_g', acc.best_g)
+        ELSE named_struct('prev', g, 'run', CAST(1 AS BIGINT), 'best_cnt', {bc}, 'best_g', {bg}) END,
+      acc -> CASE WHEN {bc} > 1 THEN {bc} * length({bg}) ELSE CAST(0 AS BIGINT) END
+    )"""
 
 
-def _dup_chars_walk(arr, count_first: bool):
+def _dup_chars_walk_sql(arr: str, count_first: bool) -> str:
     """Chars in repeated elements of one document's array (no shuffle):
     ``count_first`` True counts ALL occurrences of a gram that repeats
     (the Gopher duplicated-n-gram definition), False counts occurrences
-    beyond the first (the duplicate line/paragraph definition)."""
+    beyond the first (the duplicate line/paragraph definition).
+    SQL-string form for the same construction-cost reason as
+    _top_chars_walk_sql."""
     sub = 0 if count_first else 1
+    close = (
+        f"acc.dupch + CASE WHEN acc.run > 1 THEN (acc.run - {sub}) * length(acc.prev) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""aggregate(
+      array_sort({arr}),
+      named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'dupch', CAST(0 AS BIGINT)),
+      (acc, g) -> CASE WHEN g = acc.prev
+        THEN named_struct('prev', acc.prev, 'run', acc.run + 1, 'dupch', acc.dupch)
+        ELSE named_struct('prev', g, 'run', CAST(1 AS BIGINT), 'dupch', {close}) END,
+      acc -> {close}
+    )"""
 
-    def _close(acc):
-        return acc["dupch"] + F.when(
-            acc["run"] > 1, (acc["run"] - sub) * F.length(acc["prev"])
-        ).otherwise(F.lit(0).cast("long"))
 
-    return F.aggregate(
-        F.array_sort(arr),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("dupch"),
-        ),
-        lambda acc, g: F.when(
-            g == acc["prev"],
-            F.struct(
-                acc["prev"].alias("prev"),
-                (acc["run"] + 1).alias("run"),
-                acc["dupch"].alias("dupch"),
-            ),
-        ).otherwise(
-            F.struct(
-                g.alias("prev"), F.lit(1).cast("long").alias("run"), _close(acc).alias("dupch")
-            )
-        ),
-        _close,
+def _ngram_sql(toks: str, n: int) -> str:
+    "SQL-string twin of _ngram_expr (space-joined word n-grams)."
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -396,55 +377,51 @@ def quality_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     executor already had locally; this version is a scan -> project ->
     done plan, benched ~5x faster at sf0.1 and trivially linear-scaling
     (plan-audited: no Exchange, no Python)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    from .balance import spread_for_compute
 
-    def _segs(pattern):
-        trimmed = F.transform(F.split(F.col(text_col), pattern), lambda s: F.trim(s))
-        return F.filter(trimmed, lambda s: F.length(s) > 0)
+    df = spread_for_compute(df)
 
-    base = df.select(
-        F.col(id_col),
-        toks.alias("toks"),
-        F.greatest(F.length(F.trim(F.col(text_col))), F.lit(1)).alias("n_chars"),
-        _segs(r"\n").alias("_lines"),
-        _segs(r"\n{2,}").alias("_paras"),
+    def _segs_sql(pattern: str) -> str:
+        return (
+            f"filter(transform(split({text_col}, '{pattern}'), s -> trim(s)), "
+            f"s -> length(s) > 0)"
+        )
+
+    base = df.selectExpr(
+        id_col,
+        f"split(lower(trim({text_col})), '\\\\s+') AS toks",
+        f"greatest(length(trim({text_col})), 1) AS n_chars",
+        _segs_sql(r"\\n") + " AS _lines",
+        _segs_sql(r"\\n{2,}") + " AS _paras",
     )
-    cols = [F.col(id_col)]
+    cols = [id_col]
     metrics = []
     for n, mode in REP_NGRAM_MODES:
         name = f"{mode}{n}_char_frac"
         metrics.append(name)
-        grams = _ngram_expr(F.col("toks"), n)
+        grams = _ngram_sql("toks", n)
         chars = (
-            _top_chars_walk(grams)
+            _top_chars_walk_sql(grams)
             if mode == "top"
-            else _dup_chars_walk(grams, count_first=True)
+            else _dup_chars_walk_sql(grams, count_first=True)
         )
-        cols.append(F.round(chars / F.col("n_chars"), 6).alias(name))
-    for kind, arr in (("line", F.col("_lines")), ("para", F.col("_paras"))):
-        total = F.size(arr)
-        dup_n = total - F.size(F.array_distinct(arr))
-        tot_chars = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
-        )
+        cols.append(f"round({chars} / n_chars, 6) AS {name}")
+    for kind, arr in (("line", "_lines"), ("para", "_paras")):
+        tot_chars = f"aggregate({arr}, CAST(0 AS BIGINT), (acc, s) -> acc + length(s))"
         metrics.append(f"dup_{kind}_frac")
         cols.append(
-            F.when(total > 0, F.round(dup_n / total, 6)).otherwise(F.lit(0.0)).alias(
-                f"dup_{kind}_frac"
-            )
+            f"CASE WHEN size({arr}) > 0 THEN "
+            f"round((size({arr}) - size(array_distinct({arr}))) / size({arr}), 6) "
+            f"ELSE 0.0D END AS dup_{kind}_frac"
         )
         metrics.append(f"dup_{kind}_char_frac")
         cols.append(
-            F.when(
-                total > 0,
-                F.round(
-                    _dup_chars_walk(arr, count_first=False)
-                    / F.greatest(tot_chars, F.lit(1).cast("long")),
-                    6,
-                ),
-            ).otherwise(F.lit(0.0)).alias(f"dup_{kind}_char_frac")
+            f"CASE WHEN size({arr}) > 0 THEN "
+            f"round({_dup_chars_walk_sql(arr, count_first=False)} / "
+            f"greatest({tot_chars}, CAST(1 AS BIGINT)), 6) "
+            f"ELSE 0.0D END AS dup_{kind}_char_frac"
         )
-    out = base.select(*cols)
+    out = base.selectExpr(*cols)
     passes = None
     for n, thr in REP_TOP_THRESHOLDS.items():
         cond = F.col(f"top{n}_char_frac") <= thr
@@ -580,6 +557,9 @@ def unigram_logprob(
     score is sum(doc_cnt * lp) as DECIMAL — exact and associative, so
     partitioning cannot change it — then one double divide + round(6).
     The DuckDB twin mirrors the same fixed-point arithmetic."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     doc_tok = ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("doc_cnt"))
@@ -670,6 +650,9 @@ def chunk_documents(
     is bounded by (1 + overlap/stride)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     stride = chunk_tokens - overlap
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
@@ -777,6 +760,9 @@ def quality_c4(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
     100 TB shape: one narrow projection over the text column — zero
     shuffle, zero Python, pipelined into the scan (plan-asserted)."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     text = F.col(text_col)
     lines = F.split(text, "\n")
     kept = c4_kept_lines(text)
@@ -859,6 +845,9 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     100 TB shape: pure projection (three regexp_replace passes fused by
     codegen into one scan over the string) — zero shuffle, zero Python."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df)
     text = F.col(text_col)
     scrubbed = pii_scrubbed(text)
     n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
