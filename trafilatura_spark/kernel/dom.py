@@ -353,18 +353,35 @@ def strip_tags(tree: Element, *tags: str) -> None:
     """Remove matching elements but keep their text and children, spliced
     into the parent at the element's position (lxml etree.strip_tags).
 
-    Single traversal: matches are collected with their depth and spliced
-    deepest-first, so nested matches are handled without rescanning."""
+    Single traversal; depth is computed per MATCH from its parent chain
+    (matches are few, so the walk itself carries no per-node depth
+    tuples) and matches splice deepest-first in stable document order,
+    so nested matches are handled without rescanning."""
     tagset = frozenset(t for group in tags for t in ([group] if isinstance(group, str) else group))
     matches: list = []
-    stack = [(c, 1) for c in reversed(tree._children)]
+    stack = tree._children[::-1]
+    pop = stack.pop
+    push = stack.extend
     while stack:
-        node, depth = stack.pop()
+        node = pop()
         if node.tag in tagset:
-            matches.append((depth, node))
-        stack.extend((c, depth + 1) for c in reversed(node._children))
-    matches.sort(key=lambda pair: -pair[0])
-    for _, el in matches:
+            matches.append(node)
+        kids = node._children
+        if kids:
+            push(kids[::-1])
+    if not matches:
+        return
+    if len(matches) > 1:
+        depths = []
+        for el in matches:
+            d = 0
+            p = el._parent
+            while p is not None and p is not tree:
+                d += 1
+                p = p._parent
+            depths.append(-d)
+        matches = [el for _, el in sorted(zip(depths, matches), key=lambda pair: pair[0])]
+    for el in matches:
         if el._parent is not None:
             _splice(el)
 
