@@ -84,6 +84,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
     The shingle SET is per document, so dedup happens inside the array
     (array_distinct) BEFORE explode — no global shuffle for distinctness."""
+    from .balance import spread_for_compute
+
+    df = spread_for_compute(df.select(id_col, text_col))
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     ngrams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "
