@@ -83,10 +83,11 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per document (lowercased, ws-tokenized).
 
     The shingle SET is per document, so dedup happens inside the array
-    (array_distinct) BEFORE explode — no global shuffle for distinctness."""
-    from .balance import spread_for_compute
-
-    df = spread_for_compute(df.select(id_col, text_col))
+    (array_distinct) BEFORE explode — no global shuffle for distinctness.
+    Deliberately NOT input-rebalanced: every consumer immediately joins
+    the exploded shingles (shuffle anyway), so an extra exchange on the
+    cheap explode map-side costs more than it saves (measured A/B in a
+    steal-free window: 1.24 s without vs 1.47-1.77 s with)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     ngrams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(words) - {n - 1}, 1)), "

@@ -327,6 +327,12 @@ def _ivf_build(vecs: DataFrame, nlist: int):
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"))
     )
+    # cents is nlist rows but its lineage contains a full corpus pass
+    # (seed assignment + per-dimension mean agg); it is referenced TWICE
+    # downstream (query probes + inverted-list build), so persist the
+    # tiny table instead of recomputing that pass per reference.  Blocks
+    # are freed by the ContextCleaner when the frame is collected.
+    cents = cents.persist()
     inverted = _assign_to_centroids(vecs, cents, "neighbor_id", keep_vec="nv")
     return cents, inverted
 
