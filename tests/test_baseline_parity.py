@@ -118,3 +118,46 @@ def test_html2txt():
     # basic_cleaning drops footers/scripts
     doc2 = "<html><body><p>keep</p><footer>drop</footer><script>var x;</script></body></html>"
     assert html2txt(doc2) == "keep"
+
+
+def test_html2txt_len_matches_html2txt_over_corpus():
+    """html2txt_len (the copy-free escalation-gate fast path) must equal
+    len(html2txt(tree)) — property-pinned over the synthetic corpus
+    including the removed-tail merge and block-spacing interactions."""
+    from trafilatura_spark.fixtures import generate_rows
+    from trafilatura_spark.kernel.baseline import html2txt, html2txt_len
+    from trafilatura_spark.kernel.loader import load_html
+    from trafilatura_spark.operators.extract import wrap_if_fragment
+
+    n = 0
+    for row in generate_rows(60):
+        tree = load_html(wrap_if_fragment(row[3]))
+        if tree is None:
+            continue
+        n += 1
+        assert html2txt_len(tree) == len(html2txt(tree))
+    assert n > 500
+
+
+def test_html2txt_len_merge_and_block_edges():
+    "Hand-built edges: removed tail into block vs inline target,control chars."
+    from trafilatura_spark.kernel.baseline import html2txt, html2txt_len
+    from trafilatura_spark.kernel.loader import load_html
+
+    cases = [
+        # removed <aside> tail merges into a BLOCK sibling's tail
+        "<html><body><div>a</div><aside>drop</aside>tail-text<p>b</p></body></html>",
+        # removed element first child: tail merges into parent text
+        "<html><body><div><aside>x</aside>kept tail<span>s</span></div></body></html>",
+        # consecutive removed siblings, inline merge target
+        "<html><body><span>s</span><aside>1</aside>t1<footer>2</footer>t2<p>p</p></body></html>",
+        # control character in a merged tail under a block target
+        "<html><body><div>a</div><aside>x</aside>c\x01d</body></html>",
+        # nested removed inside removed
+        "<html><body><aside>a<footer>b</footer>c</aside>tail<p>p</p></body></html>",
+        # empty-everything block spacing
+        "<html><body><div></div><p></p></body></html>",
+    ]
+    for html in cases:
+        tree = load_html(html)
+        assert html2txt_len(tree) == len(html2txt(tree)), html

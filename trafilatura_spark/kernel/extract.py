@@ -13,7 +13,7 @@ import re
 from dataclasses import dataclass
 from typing import Any, Optional
 
-from .baseline import baseline, basic_cleaning, html2txt
+from .baseline import baseline, basic_cleaning, html2txt, html2txt_len
 from .cleaning import convert_tags, prune_unwanted_nodes, tree_cleaning
 from .dom import Element, delete_element, strip_tags
 from .handlers import _elem_text, extract_comments, extract_content
@@ -245,7 +245,8 @@ def trafilatura_sequence(tree: Element, options: Options, url: Optional[str] = N
     if (
         options.focus == "balanced"
         and 0 < len_text < ESCALATION_MAX_LENGTH
-        and len_text < ESCALATION_PAGE_SHARE * len(html2txt(tree))
+        # html2txt_len == len(html2txt(tree)) without the copy/mutation
+        and len_text < ESCALATION_PAGE_SHARE * html2txt_len(tree)
     ):
         r_options = options.copy(focus="recall")
         if is_forum:

@@ -379,18 +379,24 @@ _COOKIE_CONSENT_RE = re.compile(
 )
 
 
+_BASIC_CLEAN_TAGS = frozenset(("aside", "fencedframe", "footer", "script", "style", "svg", "template"))
+
+
+def basic_clean_pred(el: Element) -> bool:
+    "Per-element BASIC_CLEAN_XPATH predicate (reference settings.py:468-472)."
+    tag = el.tag
+    if tag in _BASIC_CLEAN_TAGS:
+        return True
+    if tag == "div" and "footer" in _first_attr(el, "class", "id"):
+        return True
+    return bool(
+        _COOKIE_CONSENT_RE.search(_fa(el, "class")) or _COOKIE_CONSENT_RE.search(_fa(el, "id"))
+    )
+
+
 def basic_clean_matches(tree: Element) -> list[Element]:
-    "BASIC_CLEAN_XPATH matches in document order (reference settings.py:468-472)."
-    out = []
-    for el in tree.iterdescendants():
-        tag = el.tag
-        if tag in ("aside", "fencedframe", "footer", "script", "style", "svg", "template"):
-            out.append(el)
-        elif tag == "div" and "footer" in _first_attr(el, "class", "id"):
-            out.append(el)
-        elif _COOKIE_CONSENT_RE.search(_fa(el, "class")) or _COOKIE_CONSENT_RE.search(_fa(el, "id")):
-            out.append(el)
-    return out
+    "BASIC_CLEAN_XPATH matches in document order."
+    return [el for el in tree.iterdescendants() if basic_clean_pred(el)]
 
 
 # --- user pruning selectors (reference prune_xpath, core.py:429-432) ---------
