@@ -12,7 +12,7 @@ from typing import Iterable, Optional
 from urllib.parse import urlsplit
 
 from .dedup_state import duplicate_test
-from .dom import Element, delete_element, strip_tags
+from .dom import Element, delete_element, splice_matches as _splice_all, strip_tags
 from .selectors import basic_clean_matches
 from .settings import (
     CUT_EMPTY_ELEMS,
@@ -390,9 +390,24 @@ def fix_relative_urls(base_url: str, url: str) -> str:
 
 
 def convert_tags(tree: Element, options: Options, url: Optional[str] = None) -> Element:
-    "Rewrite HTML into the internal vocabulary (htmlprocessing.py:388-447)."
+    """Rewrite HTML into the internal vocabulary (htmlprocessing.py:388-447).
+
+    Round-7 shape: one traversal after the link pass collects/handles
+    the FAQ-strong, empty-sup/sub, rend and conversion passes.  Pass
+    ORDER is preserved exactly: per-element decisions (FAQ conversion,
+    empty-sub/sup deletion, rend-vs-formatting) are order-independent
+    across elements, rend SPLICES still run before the tag CONVERSIONS
+    (a <pre> whose single child is spliced away must see its post-splice
+    children, the original strip-then-convert sequence), and both the
+    splice set and the conversion set are exactly what the original
+    per-pass scans collected (earlier passes never retag another pass's
+    candidates)."""
     if not options.links:
-        # links under div/li/p (and tables if on) become bare <ref>, rest stripped
+        # links under div/li/p (and tables if on) become bare <ref>, rest
+        # spliced out — the keep/strip decision is one walk; the splice
+        # set equals strip_tags(tree, "a") run after the keepers were
+        # retagged to ref
+        strip_a: list = []
         for elem in list(tree.iterdescendants("a")):
             keep = False
             for anc in elem.iterancestors():
@@ -401,7 +416,9 @@ def convert_tags(tree: Element, options: Options, url: Optional[str] = None) -> 
                     break
             if keep:
                 elem.tag = "ref"
-        strip_tags(tree, "a")
+            else:
+                strip_a.append(elem)
+        _splice_all(tree, strip_a)
     else:
         # relative targets absolutized against the page host (convert_link,
         # htmlprocessing.py:376-385); ref elements included so the fallback
@@ -416,28 +433,34 @@ def convert_tags(tree: Element, options: Options, url: Optional[str] = None) -> 
                     target = fix_relative_urls(base_url, target)
                 elem.set("target", target)
 
-    # Yoast FAQ question headers (htmlprocessing.py:407-410)
-    for elem in tree.iterdescendants("strong"):
-        if "schema-faq-question" in (elem.get("class") or ""):
+    formatting = options.formatting
+    rend_matches: list = []
+    conv_matches: list = []
+    for elem in list(tree.iterdescendants()):
+        tag = elem.tag
+        if tag == "strong" and "schema-faq-question" in (elem.get("class") or ""):
+            # Yoast FAQ question headers (htmlprocessing.py:407-410)
             elem.attrib.clear()
             elem.set("rend", "h3")
             elem.tag = "head"
-
-    # empty sup/sub dropped, tail kept (htmlprocessing.py:412-417)
-    for elem in list(tree.iterdescendants("sub", "sup")):
-        if not elem.text and len(elem) == 0:
+            continue
+        if tag in ("sub", "sup") and not elem.text and len(elem) == 0:
+            # empty sup/sub dropped, tail kept (htmlprocessing.py:412-417)
             delete_element(elem)
-
-    if options.formatting:
-        for elem in list(tree.iterdescendants(*REND_TAG_MAPPING.keys())):
-            rend = REND_TAG_MAPPING[elem.tag]
-            elem.attrib.clear()
-            elem.set("rend", rend)
-            elem.tag = "hi"
-    else:
-        strip_tags(tree, *REND_TAG_MAPPING.keys())
-
-    for elem in list(tree.iterdescendants(*CONVERSIONS.keys())):
+            continue
+        if tag in REND_TAG_MAPPING:
+            if formatting:
+                rend = REND_TAG_MAPPING[tag]
+                elem.attrib.clear()
+                elem.set("rend", rend)
+                elem.tag = "hi"
+            else:
+                rend_matches.append(elem)
+        elif tag in CONVERSIONS:
+            conv_matches.append(elem)
+    if rend_matches:
+        _splice_all(tree, rend_matches)
+    for elem in conv_matches:
         CONVERSIONS[elem.tag](elem)
 
     if options.images:

@@ -369,6 +369,12 @@ def strip_tags(tree: Element, *tags: str) -> None:
         kids = node._children
         if kids:
             push(kids[::-1])
+    splice_matches(tree, matches)
+
+
+def splice_matches(tree: Element, matches: list) -> None:
+    """Splice a pre-collected doc-order element list (strip_tags body):
+    deepest-first, stable within a depth level."""
     if not matches:
         return
     if len(matches) > 1:
