@@ -49,33 +49,41 @@ def tree_cleaning(tree: Element, options: Options) -> Element:
         cleaning_list = [e for e in cleaning_list if e not in PRESERVE_IMG_CLEANING]
         stripping_list.remove("img")
 
-    strip_tags(tree, *stripping_list)
+    # one walk collects BOTH the strip (splice) and delete matches:
+    # membership is tag-based, so splicing the strip set cannot add or
+    # remove delete candidates — except the one tag on both lists (ins),
+    # whose splice leaves its delete a parentless no-op exactly like the
+    # reference's strip-then-rescan order.  Splices still run before the
+    # recall probe/copy and the deletions, preserving the sequence.
+    strip_set = frozenset(stripping_list)
+    delete_set = frozenset(cleaning_list)
+    strip_matches: list = []
+    by_tag: dict = {t: [] for t in cleaning_list}
+    for element in tree.iterdescendants():
+        t = element.tag
+        if t in strip_set:
+            strip_matches.append(element)
+        if t in delete_set:
+            by_tag[t].append(element)
+    _splice_all(tree, strip_matches)
+
+    def _apply_deletes() -> None:
+        # tag-by-tag in list order for determinism (reference iterates
+        # per tag, htmlprocessing.py:77-80); deleting an element already
+        # inside a detached subtree is a no-op on the output
+        for tag in cleaning_list:
+            for element in by_tag[tag]:
+                delete_element(element)
 
     if options.focus == "recall" and tree.find(".//p") is not None:
         tcopy = tree.copy_tree()
-        _delete_by_taglist(tree, cleaning_list)
+        _apply_deletes()
         if tree.find(".//p") is None:
             tree = tcopy
     else:
-        _delete_by_taglist(tree, cleaning_list)
+        _apply_deletes()
 
     return prune_html(tree, options.focus)
-
-
-def _delete_by_taglist(tree: Element, cleaning_list: list) -> None:
-    """Delete all elements whose tag is in the list, processing tags in
-    list order for determinism (reference iterates tag-by-tag,
-    htmlprocessing.py:77-80) — but with a single tree traversal:
-    deleting an element already inside a detached subtree is a no-op on
-    the output, so per-tag re-traversal is unnecessary."""
-    wanted = set(cleaning_list)
-    by_tag: dict = {t: [] for t in cleaning_list}
-    for element in tree.iterdescendants():
-        if element.tag in wanted:
-            by_tag[element.tag].append(element)
-    for tag in cleaning_list:
-        for element in by_tag[tag]:
-            delete_element(element)
 
 
 def prune_html(tree: Element, focus: str = "balanced") -> Element:
